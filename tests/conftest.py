@@ -1,0 +1,14 @@
+import os
+
+# Run the test-suite on a virtual 8-device CPU mesh: numerics need f64 and
+# the multi-chip sharding paths are validated without real TPU hardware.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
