@@ -1,0 +1,143 @@
+"""Built-in mesh generators for the demo / test workloads.
+
+Covers the mesh families the reference obtains from DOLFINx / gmsh
+(``demo_reconstruction.py:63-246``): structured unit squares (left / right /
+crossed diagonals), an "unstructured-like" fixture whose random vertex
+renumbering produces reversed facet orientations (the role of
+``create_unitsquare_gmsh`` in the reference test fixtures,
+``test/unit/utils.py:136-176``), the adaptive-demo L-shape
+(``poisson_adaptive/demo_lshape.py``) and Cook's membrane
+(``elasticity_adaptive/demo_cook.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .topology import TriMesh
+
+__all__ = [
+    "unit_square",
+    "rectangle",
+    "lshape",
+    "cook_membrane",
+    "permute_vertices",
+]
+
+
+def rectangle(
+    p0, p1, nx: int, ny: int, diagonal: str = "crossed"
+) -> TriMesh:
+    x = np.linspace(p0[0], p1[0], nx + 1)
+    y = np.linspace(p0[1], p1[1], ny + 1)
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    pts = np.stack([X.ravel(), Y.ravel()], axis=-1)
+
+    def vid(i, j):
+        return i * (ny + 1) + j
+
+    cells = []
+    if diagonal == "crossed":
+        # centre point per quad
+        nv = len(pts)
+        centres = np.stack(
+            [
+                (X[:-1, :-1] + X[1:, 1:]).ravel() / 2,
+                (Y[:-1, :-1] + Y[1:, 1:]).ravel() / 2,
+            ],
+            axis=-1,
+        )
+        pts = np.concatenate([pts, centres])
+        for i in range(nx):
+            for j in range(ny):
+                c = nv + i * ny + j
+                a, b = vid(i, j), vid(i + 1, j)
+                d, e = vid(i + 1, j + 1), vid(i, j + 1)
+                cells += [[a, b, c], [b, d, c], [d, e, c], [e, a, c]]
+    elif diagonal in ("left", "right"):
+        for i in range(nx):
+            for j in range(ny):
+                a, b = vid(i, j), vid(i + 1, j)
+                d, e = vid(i + 1, j + 1), vid(i, j + 1)
+                if diagonal == "right":
+                    cells += [[a, b, d], [a, d, e]]
+                else:
+                    cells += [[a, b, e], [b, d, e]]
+    else:
+        raise ValueError(f"unknown diagonal: {diagonal}")
+    return TriMesh(pts, np.array(cells, dtype=np.int32))
+
+
+def unit_square(n: int, diagonal: str = "crossed") -> TriMesh:
+    """Unit square [0,1]^2, ``n`` elements per direction (reference
+    ``create_unit_square_builtin``, demo_reconstruction.py:63-119)."""
+    return rectangle((0.0, 0.0), (1.0, 1.0), n, n, diagonal)
+
+
+def permute_vertices(msh: TriMesh, seed: int = 0) -> TriMesh:
+    """Randomly renumber vertices and flip the orientation of a random
+    subset of cells.
+
+    This produces facets whose canonical (ascending-global-id) direction
+    disagrees with one of the adjacent cells' local direction, and cells
+    with negative Jacobian determinant — the "mesh has reversed edges"
+    property the reference's gmsh fixture asserts
+    (``test/unit/utils.py:136-139``), so every orientation code path is
+    exercised.
+    """
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(msh.num_vertices)
+    pts = np.empty_like(msh.points)
+    pts[perm] = msh.points
+    cells = perm[msh.cells].astype(np.int32)
+    flip = rng.random(len(cells)) < 0.5
+    cells[flip] = cells[flip][:, [0, 2, 1]]
+    return TriMesh(pts, cells)
+
+
+def lshape(n: int) -> TriMesh:
+    """L-shaped domain (-1,1)^2 minus the fourth quadrant [0,1]x[-1,0],
+    structured triangulation with 2*n divisions across (-1,1)."""
+    m = 2 * n
+    x = np.linspace(-1.0, 1.0, m + 1)
+    y = np.linspace(-1.0, 1.0, m + 1)
+    idx = -np.ones((m + 1, m + 1), dtype=np.int64)
+    pts = []
+    for i in range(m + 1):
+        for j in range(m + 1):
+            if x[i] <= 0.0 or y[j] >= 0.0:
+                idx[i, j] = len(pts)
+                pts.append([x[i], y[j]])
+    cells = []
+    for i in range(m):
+        for j in range(m):
+            # quad is inside L iff not (x>0 and y<0)
+            if x[i] >= 0.0 and y[j + 1] <= 0.0:
+                continue
+            a, b = idx[i, j], idx[i + 1, j]
+            d, e = idx[i + 1, j + 1], idx[i, j + 1]
+            # bisect towards the reentrant corner for symmetry
+            cells += [[a, b, d], [a, d, e]]
+    return TriMesh(np.array(pts), np.array(cells, dtype=np.int32))
+
+
+def cook_membrane(nx: int, ny: int) -> TriMesh:
+    """Cook's membrane: quadrilateral (0,0)-(48,44)-(48,60)-(0,44), mapped
+    structured grid (reference ``elasticity_adaptive/demo_cook.py``)."""
+    xi = np.linspace(0.0, 1.0, nx + 1)
+    eta = np.linspace(0.0, 1.0, ny + 1)
+    XI, ETA = np.meshgrid(xi, eta, indexing="ij")
+    X = 48.0 * XI
+    Y = 44.0 * ETA * (1.0 - XI) + XI * (44.0 + 16.0 * ETA)
+    pts = np.stack([X.ravel(), Y.ravel()], axis=-1)
+
+    def vid(i, j):
+        return i * (ny + 1) + j
+
+    cells = []
+    for i in range(nx):
+        for j in range(ny):
+            a, b = vid(i, j), vid(i + 1, j)
+            d, e = vid(i + 1, j + 1), vid(i, j + 1)
+            cells += [[a, b, d], [a, d, e]]
+    return TriMesh(pts, np.array(cells, dtype=np.int32))
