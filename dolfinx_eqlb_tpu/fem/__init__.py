@@ -1,0 +1,10 @@
+from .spaces import FunctionSpace, Function  # noqa: F401
+from .expressions import Expr, as_expr, expr_from_callable, grad, div, comp  # noqa: F401
+from .projection import (  # noqa: F401
+    local_projection,
+    local_solver_cholesky,
+    local_solver_lu,
+    local_solver_cg,
+)
+from .interpolate import interpolate  # noqa: F401
+from .assemble import cell_integrals, cell_integrals_sq, assemble_scalar  # noqa: F401
