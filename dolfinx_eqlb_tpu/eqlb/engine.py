@@ -1,0 +1,326 @@
+"""Batched patch-wise constrained minimisation — the equilibration core.
+
+Both reference equilibrators solve, for every mesh vertex z with hat
+function psi_z, the same local problem on the patch omega_z (cf.
+``ev/solve_patch.hpp`` and ``se/solve_patch_semiexplt.hpp``):
+
+    minimise || sigma_z - psi_z sigma_proj ||_{L2(omega_z)}
+    s.t.   (div sigma_z, q) = (psi_z f + grad(psi_z).sigma_proj, q)
+                                          for all q in DG_{k-1}(omega_z)
+           sigma_z . n = 0            on the outer ring of the patch
+           sigma_z . n = psi_z g      on flux-essential boundary spokes
+           sigma_z . n free           on primal-Dirichlet boundary spokes
+
+(the EV mixed form, reference ``FluxEqlbEV.py:116-134``; the SE two-step
+scheme computes the identical minimiser of the identical constraint set, so
+one engine serves both).  The sum sigma_R = sum_z sigma_z satisfies
+div(sigma_R) = P_{k-1} f and the prescribed normal traces exactly.
+
+TPU design: one dense KKT system per patch
+    [ M  -B^T  0 ] [sigma]   [F_v]
+    [ B   0    c ] [  r  ] = [F_q]
+    [ 0   c^T  0 ] [ lam ]   [ 0 ]
+with the mean-value Lagrange multiplier ``lam`` active on interior /
+pure-Neumann patches (the reference's penalty row, ``ev/assembly.hpp:280-305``
+and ``se/PatchData.hpp:168-223``).  Element tensors are contractions of
+constant reference tensors with per-cell geometry; patches are bucketed so
+assembly is static block placement and the solve one batched LU per bucket.
+Essential dofs stay in the system as identity rows (row replacement, like the
+reference's BC rows ``ev/assembly.hpp:252-266``).
+
+The whole equilibration (every bucket: assembly, batched LU, optional weak
+symmetry, global scatter-add) is ONE jitted XLA program.  All index tables
+and reference tensors are passed into the jit as *device arguments*, never
+as baked constants — the TPU backend here constant-folds gathers over
+constant operands incorrectly, and argument-passing also keeps the compiled
+executable reusable across meshes of identical bucket structure.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..elements.lagrange import dubiner_cached, lagrange_cached
+from ..elements.polynomials import legendre_shifted
+from ..elements.quadrature import gauss_interval, gauss_triangle
+from ..elements.rt import rt_cached
+from ..fem.spaces import FunctionSpace
+from .patches import PatchBucket, bucket_dof_tables
+
+__all__ = ["EqlbEngine", "reference_tensors"]
+
+
+_HAT_GRADS = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+
+
+@lru_cache(maxsize=None)
+def reference_tensors(k: int):
+    """Constant reference-cell tensors for RT_k / DG_{k-1} / P1-hat."""
+    rt = rt_cached(k)
+    dub = dubiner_cached(k - 1)
+    hat = lagrange_cached(1)
+    pts, w = gauss_triangle(2 * k + 2)
+    phi = rt.tabulate(pts)  # (nrt, 2, nq)
+    dphi = rt.tabulate_div(pts)  # (nrt, nq)
+    q = dub.tabulate(pts)  # (ndg, nq)
+    lam = hat.tabulate(pts)  # (3, nq)
+
+    Mhat = np.einsum("x,iax,jbx->abij", w, phi, phi)
+    Dhat = np.einsum("x,ix,px->ip", w, dphi, q)
+    Rhat = np.einsum("x,lx,mx,iax->lmai", w, lam, q, phi)
+    Rlam = np.einsum("x,lx,iax->lai", w, lam, phi)  # weak-symmetry coupling
+    T3 = np.einsum("x,lx,mx,px->lmp", w, lam, q, q)
+    cpen = np.einsum("x,px->p", w, q)  # only the constant mode is nonzero
+
+    # hat-weighted Legendre products on [0,1] for boundary-spoke dofs:
+    # W[end, j, m] = int lin_end(s) P~_j(s) P~_m(s) ds, lin_0 = 1-s, lin_1 = s
+    s, ws = gauss_interval(k + 2)
+    leg = legendre_shifted(k - 1)
+    legv = np.array([np.polyval(leg[m, ::-1], s) for m in range(k)])
+    Wend = np.stack(
+        [
+            np.einsum("x,jx,mx->jm", ws * (1.0 - s), legv, legv),
+            np.einsum("x,jx,mx->jm", ws * s, legv, legv),
+        ]
+    )
+    return dict(
+        Mhat=Mhat, Dhat=Dhat, Rhat=Rhat, Rlam=Rlam, T3=T3, cpen=cpen, Wend=Wend
+    )
+
+
+class EqlbEngine:
+    """Per-mesh, per-degree batched equilibration engine."""
+
+    def __init__(
+        self,
+        V_flux: FunctionSpace,
+        buckets: dict[tuple, PatchBucket],
+        dtype=None,
+    ):
+        """``dtype``: compute precision of the batched patch solves.  f64 is
+        the default (the 1e-10-level invariant checks need it) but the TPU
+        backend only implements batched LU in f32 — pass jnp.float32 there
+        (bench.py does)."""
+        assert V_flux.family == "RT"
+        self.V = V_flux
+        self.k = V_flux.degree
+        self.mesh = V_flux.mesh
+        self.buckets = buckets
+        self.dtype = dtype or jnp.float64
+        self.ref = reference_tensors(self.k)
+        self.tables = {}
+        msh = self.mesh
+        for key, b in buckets.items():
+            t = bucket_dof_tables(b, V_flux)
+            cells64 = b.cells.astype(np.int64)
+            t["J"] = msh.J[cells64]  # (P, n, 2, 2)
+            t["detJ"] = msh.detJ[cells64]
+            t["K"] = msh.K[cells64]
+            # endpoint of each boundary spoke: is z the lower-global-id end?
+            if b.is_boundary:
+                fv = msh.facet_vertices[b.spokes[:, [0, -1]].astype(np.int64)]
+                t["z_is_lo"] = fv[..., 0] == b.nodes[:, None]  # (P, 2)
+                t["bspokes"] = b.spokes[:, [0, -1]].astype(np.int64)  # (P, 2)
+            self.tables[key] = t
+        self._dev = None
+        self._ref_dev = None
+        self._jit_eq = None
+
+    # --- device-resident tables (passed as jit *arguments*) -----------------
+
+    def _device_tables(self):
+        if self._dev is not None:
+            return self._dev, self._ref_dev
+        dt = self.dtype
+        iidx = jnp.int32
+        dev = {}
+        for key, t in self.tables.items():
+            b = self.buckets[key]
+            d = {
+                "J": jnp.asarray(t["J"], dt),
+                "detJ": jnp.asarray(t["detJ"], dt),
+                "K": jnp.asarray(t["K"], dt),
+                "perm": jnp.asarray(t["perm"], iidx),
+                "signs": jnp.asarray(t["signs"], dt),
+                "cells": jnp.asarray(b.cells, iidx),
+                "lnode": jnp.asarray(b.lnode, iidx),
+                "gdofs": jnp.asarray(t["gdofs"], iidx),
+                "lv_hats": jnp.asarray(t["lv_hats"], iidx),
+            }
+            if b.is_boundary:
+                d["bspokes"] = jnp.asarray(t["bspokes"], iidx)
+                d["z_is_lo"] = jnp.asarray(t["z_is_lo"])
+            dev[key] = d
+        refd = {
+            name: jnp.asarray(arr, dt) for name, arr in self.ref.items()
+        }
+        refd["hat_grads"] = jnp.asarray(_HAT_GRADS, dt)
+        self._dev, self._ref_dev = dev, refd
+        return dev, refd
+
+    # -------------------------------------------------------------------------
+
+    def equilibrate(
+        self, sigma_proj_dofs, rhs_dofs, facet_kind, bvals, weak_symmetry=False
+    ):
+        """Solve all patch problems; returns global RT dof vectors
+        (n_rhs, ndofs_flux).
+
+        Args (leading axis = n_rhs):
+          sigma_proj_dofs (n_rhs, nc, 2, ndg): vector-DG dofs of sigma_proj
+          rhs_dofs        (n_rhs, nc, ndg):    DG dofs of the projected RHS
+          facet_kind      (n_rhs, nf) int8:    0 interior/outer, 1 flux-free
+                                               (primal Dirichlet), 2 flux-
+                                               essential (Neumann data)
+          bvals           (n_rhs, nf, k):      facet dof values of the flux BC
+          weak_symmetry:  treat rows 0, 1 as stress rows and apply the
+                          patch-wise weak-symmetry correction before the
+                          global scatter (reference FluxEqlbSE stress path)
+        """
+        dev, refd = self._device_tables()
+        if self._jit_eq is None:
+            self._jit_eq = jax.jit(
+                self._equilibrate_impl, static_argnames=("weak_symmetry",)
+            )
+        return self._jit_eq(
+            jnp.asarray(sigma_proj_dofs, self.dtype),
+            jnp.asarray(rhs_dofs, self.dtype),
+            jnp.asarray(facet_kind),
+            jnp.asarray(bvals, self.dtype),
+            dev,
+            refd,
+            weak_symmetry=weak_symmetry,
+        )
+
+    def _equilibrate_impl(
+        self, d_proj, d_rhs, facet_kind, bvals, dev, refd, weak_symmetry=False
+    ):
+        n_rhs = d_proj.shape[0]
+        x = jnp.zeros((n_rhs, self.V.ndofs), self.dtype)
+        for key in sorted(self.buckets.keys()):
+            sol = self._solve_bucket(
+                key, d_proj, d_rhs, facet_kind, bvals, dev[key], refd
+            )
+            if weak_symmetry:
+                from .stress import weak_symmetry_bucket
+
+                delta = weak_symmetry_bucket(
+                    self, key, sol[:2], facet_kind[:2], dev[key], refd
+                )
+                sol = sol.at[:2].add(delta)
+            x = x.at[:, dev[key]["gdofs"]].add(sol)
+        return x
+
+    # -------------------------------------------------------------------------
+
+    def _solve_bucket(self, key, d_proj, d_rhs, facet_kind, bvals, dv, refd):
+        Ar, br, nflux = self._assemble_bucket(
+            key, d_proj, d_rhs, facet_kind, bvals, dv, refd
+        )
+        sol = jnp.linalg.solve(Ar, br[..., None])[..., 0]
+        return sol[:, :, :nflux]
+
+    def _assemble_bucket(self, key, d_proj, d_rhs, facet_kind, bvals, dv, refd):
+        b = self.buckets[key]
+        t = self.tables[key]
+        k = self.k
+        kk1 = self.V.element.ndofs_cell
+        ndg = k * (k + 1) // 2
+        n, ns = b.ncells, b.nspokes
+        P = b.npatches
+        n_rhs = d_proj.shape[0]
+
+        D = ns * k + n * kk1 + n * ndg + 1
+        nflux = ns * k + n * kk1
+
+        dt = self.dtype
+        J, detJ, K = dv["J"], dv["detJ"], dv["K"]
+        adet = jnp.abs(detJ)
+        sdet = jnp.sign(detJ)
+        perm, signs = dv["perm"], dv["signs"]
+        cells, lnode = dv["cells"], dv["lnode"]
+
+        # --- element tensors in canonical order --------------------------------
+        JtJ = jnp.einsum("pcka,pckb->pcab", J, J)
+        Mgeo = jnp.einsum("pcab,abij->pcij", JtJ, refd["Mhat"])
+        Mgeo = Mgeo / adet[..., None, None]
+        Mc = jnp.take_along_axis(Mgeo, perm[..., None], axis=2)
+        Mc = jnp.take_along_axis(Mc, perm[..., None, :], axis=3)
+        Mc = Mc * signs[..., :, None] * signs[..., None, :]
+
+        Dg = refd["Dhat"][perm]  # (P, n, nkeep, ndg)
+        Bc = sdet[..., None, None] * Dg * signs[..., None]
+
+        # --- per-cell RHS data ---------------------------------------------------
+        dp = d_proj[:, cells]  # (n_rhs, P, n, 2, ndg)
+        fr = d_rhs[:, cells]  # (n_rhs, P, n, ndg)
+        Rh = refd["Rhat"][lnode]  # (P, n, ndg, 2, nrt)
+        # F_v[r,p,c,i] = sdet * d_am J_ab Rhat[l,m,b,i], canonical + signs
+        Fv_full = jnp.einsum("rpcam,pcab,pcmbi->rpci", dp, J, Rh)
+        Fv_full = Fv_full * sdet[None, ..., None]
+        Fv = jnp.take_along_axis(
+            Fv_full, perm[None].repeat(n_rhs, 0), axis=3
+        ) * signs[None]
+
+        T3 = refd["T3"][lnode]  # (P, n, ndg, ndg)
+        # grad(psi)_a = K_{ba} ghat_b, ghat = reference hat gradients
+        ghat = refd["hat_grads"][lnode]  # (P, n, 2)
+        gpsi = jnp.einsum("pcba,pcb->pca", K, ghat)
+        Fq = adet[None, ..., None] * (
+            jnp.einsum("rpcm,pcmq->rpcq", fr, T3)
+            + jnp.einsum("pca,rpcaq->rpcq", gpsi, dp)
+        )  # (n_rhs, P, n, ndg)
+
+        # --- assemble the dense patch systems -----------------------------------
+        A = jnp.zeros((P, D, D), dt)
+        bvec = jnp.zeros((n_rhs, P, D), dt)
+        cpen = refd["cpen"]
+        pidx = t["patch_idx"]  # (n, nkeep) static numpy
+        for i in range(n):
+            ix = pidx[i]
+            qrow = ns * k + n * kk1 + i * ndg + np.arange(ndg)
+            A = A.at[:, ix[:, None], ix[None, :]].add(Mc[:, i])
+            A = A.at[:, qrow[:, None], ix[None, :]].add(
+                jnp.swapaxes(Bc[:, i], 1, 2)
+            )
+            A = A.at[:, ix[:, None], qrow[None, :]].add(-Bc[:, i])
+            A = A.at[:, qrow, D - 1].add(adet[:, i, None] * cpen[None, :])
+            A = A.at[:, D - 1, qrow].add(adet[:, i, None] * cpen[None, :])
+            bvec = bvec.at[:, :, ix].add(Fv[:, :, i])
+            bvec = bvec.at[:, :, qrow].add(Fq[:, :, i])
+
+        # --- essential conditions ------------------------------------------------
+        mask = jnp.zeros((n_rhs, P, D), dtype=bool)
+        values = jnp.zeros((n_rhs, P, D), dt)
+        if b.is_boundary:
+            bsp = dv["bspokes"]  # (P, 2)
+            kind = facet_kind[:, bsp]  # (n_rhs, P, 2)
+            z_lo = dv["z_is_lo"]  # (P, 2)
+            # hat-weighted dof values on flux-essential spokes:
+            # alpha_j = bvals_j * (2j+1); val_m = alpha_j Wend[end, j, m]
+            scale = jnp.asarray(2.0 * np.arange(k) + 1.0, dt)
+            alpha = bvals[:, bsp] * scale  # (n_rhs, P, 2, k)
+            Wend = refd["Wend"]  # (2, k, k)
+            Wsel = jnp.where(z_lo[..., None, None], Wend[0], Wend[1])
+            hatvals = jnp.einsum("rpej,pejm->rpem", alpha, Wsel)
+            ess = kind == 2  # (n_rhs, P, 2)
+            for e, sp in enumerate((0, ns - 1)):
+                cols = sp * k + np.arange(k)
+                mask = mask.at[:, :, cols].set(ess[:, :, e : e + 1])
+                values = values.at[:, :, cols].set(
+                    jnp.where(ess[:, :, e : e + 1], hatvals[:, :, e], 0.0)
+                )
+            # multiplier active only if both spokes are flux-essential
+            lam_on = ess[:, :, 0] & ess[:, :, 1]
+        else:
+            lam_on = jnp.ones((n_rhs, P), dtype=bool)
+        mask = mask.at[:, :, D - 1].set(~lam_on)
+
+        eye = jnp.eye(D, dtype=dt)
+        Ar = jnp.where(mask[..., None], eye[None, None], A[None])
+        br = jnp.where(mask, values, bvec)
+        return Ar, br, nflux

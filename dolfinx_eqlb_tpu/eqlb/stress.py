@@ -1,0 +1,169 @@
+"""Weakly symmetric stress equilibration.
+
+After the row-wise flux equilibration of the first gdim stress rows, every
+patch contribution (sigma_z0, sigma_z1) receives divergence-free, zero-trace
+corrections (Delta_0, Delta_1) minimising sum_j ||sigma_zj + Delta_j|| under
+the patch-local weak-symmetry constraint
+
+    ((sigma_z + Delta)_01 - (sigma_z + Delta)_10, hat_v) = 0
+                      for every continuous-P1 hat on the patch,
+
+(reference ``se/stressmin_kernel.hpp:118-236`` assembles exactly these
+blocks; ``se/solve_patch_weaksym.hpp`` solves them via a Schur complement).
+Because each patch constrains its *own* hat-weighted contribution and every
+global P1 test function restricted to a patch is a patch hat, the corrected
+sum satisfies the global weak-symmetry condition — patches stay independent
+and the solve batches exactly like the flux solve.
+
+A scalar multiplier relaxes the constant-mode constraint (reference
+``stressmin_kernel.hpp:225-235`` Ce column): for interior / pure-Neumann
+patches the constant mode is redundant — its data vanishes by the rotational
+Galerkin orthogonality of the primal solve (which is why stress equilibration
+requires primal degree >= 2, reference ``se/reconstruction.hpp:357-388``).
+
+KKT layout per patch (F = patch flux dofs, G = n*ndg, C = patch P1 nodes):
+  [ M         -Bdiv^T           B1^T      ] [D0]   [-M c0]
+  [      M            -Bdiv^T   B2^T      ] [D1]   [-M c1]
+  [ Bdiv                    cp            ] [r0] = [ 0  ]
+  [      Bdiv                   cp        ] [r1]   [ 0  ]
+  [ B1   B2                          ch   ] [uc]   [-B1 c0 - B2 c1]
+  [            cp^T                       ] [l0]   [ 0 ]
+  [                   cp^T                ] [l1]   [ 0 ]
+  [                        ch^T           ] [lc]   [ 0 ]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = ["weak_symmetry_bucket"]
+
+
+def weak_symmetry_bucket(engine, key, sol2, facet_kind2, dv, refd):
+    """Corrections for the two stress rows of one bucket.
+
+    Args:
+      engine: the EqlbEngine
+      key: bucket key
+      sol2 (2, P, nflux): patch-local flux solutions of stress rows 0, 1
+      facet_kind2 (2, nf): facet kinds of the two rows
+      dv/refd: device-resident bucket tables / reference tensors (passed as
+        jit arguments, see engine docstring)
+    Returns (2, P, nflux) corrections.
+    """
+    b = engine.buckets[key]
+    t = engine.tables[key]
+    k = engine.k
+    el = engine.V.element
+    kk1 = el.ndofs_cell
+    ndg = k * (k + 1) // 2
+    n, ns = b.ncells, b.nspokes
+    P = b.npatches
+    F = ns * k + n * kk1
+    G = n * ndg
+    C = t["np1"]
+
+    dt = engine.dtype
+    J, detJ = dv["J"], dv["detJ"]
+    adet = jnp.abs(detJ)
+    sdet = jnp.sign(detJ)
+    perm, signs = dv["perm"], dv["signs"]
+
+    # element mass in canonical order (same as the flux solve)
+    JtJ = jnp.einsum("pcka,pckb->pcab", J, J)
+    Mgeo = jnp.einsum("pcab,abij->pcij", JtJ, refd["Mhat"])
+    Mgeo = Mgeo / adet[..., None, None]
+    Mc = jnp.take_along_axis(Mgeo, perm[..., None], axis=2)
+    Mc = jnp.take_along_axis(Mc, perm[..., None, :], axis=3)
+    Mc = Mc * signs[..., :, None] * signs[..., None, :]
+
+    Dg = refd["Dhat"][perm]
+    Bc = sdet[..., None, None] * Dg * signs[..., None]  # (P,n,nkeep,ndg)
+
+    # weak-symmetry coupling: Bsym[a-component][p,c,hat,idof]
+    #   int hat_l (Phi_i)_a dx = sdet J_ab Rlam[l, b, i]
+    Rl = refd["Rlam"][dv["lv_hats"]]  # (P,n,3,2,nrt)
+    Rcan = jnp.take_along_axis(
+        Rl, perm[:, :, None, None, :], axis=4
+    )  # (P,n,3,2,nkeep)
+    Bsym = jnp.einsum("pcab,pchbi->pchai", J, Rcan)  # (P,n,3,2,nkeep)
+    Bsym = Bsym * (sdet[..., None, None, None] * signs[:, :, None, None, :])
+
+    cpen = refd["cpen"]
+
+    D = 2 * F + 2 * G + C + 3
+    A = jnp.zeros((P, D, D), dt)
+    rhs = jnp.zeros((P, D), dt)
+    pidx = t["patch_idx"]
+    p1idx = t["p1_idx"]
+    iuc = 2 * F + 2 * G
+    il0, il1, ilc = iuc + C, iuc + C + 1, iuc + C + 2
+
+    c0 = sol2[0]
+    c1 = sol2[1]
+
+    for i in range(n):
+        ix = pidx[i]
+        for row in (0, 1):
+            off_f = row * F
+            off_r = 2 * F + row * G
+            fx = off_f + ix
+            qr = off_r + i * ndg + np.arange(ndg)
+            A = A.at[:, fx[:, None], fx[None, :]].add(Mc[:, i])
+            A = A.at[:, qr[:, None], fx[None, :]].add(jnp.swapaxes(Bc[:, i], 1, 2))
+            A = A.at[:, fx[:, None], qr[None, :]].add(-Bc[:, i])
+            lam = il0 if row == 0 else il1
+            A = A.at[:, qr, lam].add(adet[:, i, None] * cpen[None, :])
+            A = A.at[:, lam, qr].add(adet[:, i, None] * cpen[None, :])
+            # L_flux = -M c_row
+            cloc = (c0 if row == 0 else c1)[:, ix]
+            rhs = rhs.at[:, fx].add(-jnp.einsum("pij,pj->pi", Mc[:, i], cloc))
+        # symmetry constraint rows: B1 = +y-component, B2 = -x-component
+        uc = iuc + p1idx[i]
+        B1 = Bsym[:, i, :, 1, :]  # (P, 3, nkeep)
+        B2 = -Bsym[:, i, :, 0, :]
+        A = A.at[:, uc[:, None], (0 * F + pidx[i])[None, :]].add(B1)
+        A = A.at[:, uc[:, None], (1 * F + pidx[i])[None, :]].add(B2)
+        A = A.at[:, (0 * F + pidx[i])[:, None], uc[None, :]].add(
+            jnp.swapaxes(B1, 1, 2)
+        )
+        A = A.at[:, (1 * F + pidx[i])[:, None], uc[None, :]].add(
+            jnp.swapaxes(B2, 1, 2)
+        )
+        A = A.at[:, uc, ilc].add(_hat_int(adet[:, i]))
+        A = A.at[:, ilc, uc].add(_hat_int(adet[:, i]))
+        # L_c = -(B1 c0 + B2 c1)
+        rhs = rhs.at[:, uc].add(
+            -jnp.einsum("phi,pi->ph", B1, c0[:, pidx[i]])
+            - jnp.einsum("phi,pi->ph", B2, c1[:, pidx[i]])
+        )
+
+    # --- essential conditions -------------------------------------------------
+    mask = jnp.zeros((P, D), dtype=bool)
+    if b.is_boundary:
+        bsp = dv["bspokes"]  # (P, 2)
+        kind = facet_kind2[:, bsp]  # (2, P, 2)
+        ess = kind == 2
+        for row in (0, 1):
+            for e, sp in enumerate((0, ns - 1)):
+                cols = row * F + sp * k + np.arange(k)
+                mask = mask.at[:, cols].set(ess[row, :, e : e + 1])
+        all_ess = ess.all(axis=(0, 2))  # (P,)
+        lam_rows = {il0: ess[0].all(axis=1), il1: ess[1].all(axis=1), ilc: all_ess}
+    else:
+        ones = jnp.ones((P,), dtype=bool)
+        lam_rows = {il0: ones, il1: ones, ilc: ones}
+    for lam, on in lam_rows.items():
+        mask = mask.at[:, lam].set(~on)
+
+    eye = jnp.eye(D, dtype=dt)
+    Ar = jnp.where(mask[..., None], eye[None], A)
+    br = jnp.where(mask, 0.0, rhs)
+    sol = jnp.linalg.solve(Ar, br[..., None])[..., 0]
+    return jnp.stack([sol[:, :F], sol[:, F : 2 * F]])
+
+
+def _hat_int(adet_i):
+    """int of one hat over a cell = |detJ| / 6, as a column (P, 3)."""
+    return jnp.repeat(adet_i[:, None] / 6.0, 3, axis=1)

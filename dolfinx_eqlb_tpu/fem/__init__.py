@@ -6,5 +6,5 @@ from .projection import (  # noqa: F401
     local_solver_lu,
     local_solver_cg,
 )
-from .interpolate import interpolate  # noqa: F401
+from .interpolate import interpolate, project_facet_trace  # noqa: F401
 from .assemble import cell_integrals, cell_integrals_sq, assemble_scalar  # noqa: F401

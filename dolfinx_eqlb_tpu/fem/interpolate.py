@@ -23,7 +23,25 @@ from ..elements.lagrange import dubiner_cached
 from .spaces import Function, FunctionSpace
 from .expressions import as_expr
 
-__all__ = ["interpolate"]
+__all__ = ["interpolate", "project_facet_trace"]
+
+
+def project_facet_trace(mesh, facets, g, degree: int, quadrature_degree=None):
+    """Per-facet L2 projection of ``g(x)`` onto P_{degree-1} along the
+    canonical facet direction; returns shifted-Legendre coefficients
+    (nfacets, degree).  Used to feed *identical* data to the primal Neumann
+    load and the flux BCs (cf. the reference's shared UFL expression)."""
+    facets = np.asarray(facets, dtype=np.int64)
+    nq = max(degree + 1, ((quadrature_degree or 2 * degree + 16) + 2) // 2)
+    s, w = gauss_interval(nq)
+    leg = legendre_shifted(degree - 1)
+    legv = np.array([np.polyval(leg[m, ::-1], s) for m in range(degree)])
+    lo = mesh.points[mesh.facet_vertices[facets, 0]]
+    T = mesh.facet_tangent[facets]
+    xq = lo[:, None, :] + np.einsum("q,fa->fqa", s, T)
+    gv = np.asarray(g(xq))
+    scale = 2.0 * np.arange(degree) + 1.0  # 1 / ||P~_j||^2
+    return np.einsum("q,jq,fq,j->fj", w, legv, gv, scale)
 
 
 def _reference_rt_dofs(V: FunctionSpace, e, nq_facet: int, qdeg_cell: int):

@@ -89,26 +89,48 @@ class PoissonSolver:
         return b
 
     def _facet_load(self, facets, g_expr):
-        """int_F g v ds for boundary facets (g = outward normal flux)."""
+        """int_F g v ds for boundary facets (g = outward normal flux).
+
+        ``g_expr`` is a callable at physical points, or an array of per-facet
+        shifted-Legendre coefficients (nfacets, m) of the trace along the
+        canonical facet direction (use ``fem.project_facet_trace``) — the
+        latter keeps the primal Neumann load consistent with projected flux
+        BCs to machine precision (needed for pure-Neumann equilibration
+        patches at flux degree 1).
+        """
         V, msh = self.V, self.V.mesh
         facets = np.asarray(facets, dtype=np.int64)
-        s, w = gauss_interval(V.degree + 3)
+        # generous rule: pure-Neumann equilibration patches need the primal
+        # Neumann load and the flux-BC moments to agree to ~machine precision
+        s, w = gauss_interval(V.degree + 8)
         pts_e = facet_param_points(s)
         tabs = [jnp.asarray(V.element.tabulate(pts_e[e])) for e in range(3)]
         own = msh.facet_cells[facets, 0].astype(np.int64)
         loc = msh.facet_local[facets, 0].astype(np.int64)
         aligned = msh.edge_aligned[own, loc]
-        g = as_expr(g_expr, msh)
-        # physical points along the canonical facet direction
-        lo = msh.points[msh.facet_vertices[facets, 0]]
-        T = msh.facet_tangent[facets]
-        xq = lo[:, None, :] + np.einsum("q,fa->fqa", s, T)
-        from ..fem.expressions import _CallableExpr  # local import
+        if isinstance(g_expr, np.ndarray):
+            from ..elements.polynomials import legendre_shifted
 
-        if isinstance(g, _CallableExpr):
-            gv = jnp.asarray(g.fn(xq))
+            coef = g_expr
+            leg = legendre_shifted(coef.shape[1] - 1)
+            legv = np.array(
+                [np.polyval(leg[m, ::-1], s) for m in range(coef.shape[1])]
+            )
+            gv = jnp.asarray(np.einsum("fm,mq->fq", coef, legv))
         else:
-            raise NotImplementedError("Neumann data must be a callable expression")
+            g = as_expr(g_expr, msh)
+            # physical points along the canonical facet direction
+            lo = msh.points[msh.facet_vertices[facets, 0]]
+            T = msh.facet_tangent[facets]
+            xq = lo[:, None, :] + np.einsum("q,fa->fqa", s, T)
+            from ..fem.expressions import _CallableExpr  # local import
+
+            if isinstance(g, _CallableExpr):
+                gv = jnp.asarray(g.fn(xq))
+            else:
+                raise NotImplementedError(
+                    "Neumann data must be a callable or facet coefficients"
+                )
         b = jnp.zeros(self.ndofs)
         wj = jnp.asarray(w)
         for e in range(3):
