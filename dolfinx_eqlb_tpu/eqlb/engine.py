@@ -209,7 +209,7 @@ class EqlbEngine:
                 from .stress import weak_symmetry_bucket
 
                 delta = weak_symmetry_bucket(
-                    self, key, sol[:2], facet_kind[:2], dev[key], refd
+                    self, key, sol[:2], facet_kind[:2], d_proj[:2], dev[key], refd
                 )
                 sol = sol.at[:2].add(delta)
             x = x.at[:, dev[key]["gdofs"]].add(sol)

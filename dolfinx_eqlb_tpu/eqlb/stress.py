@@ -40,14 +40,22 @@ import jax.numpy as jnp
 __all__ = ["weak_symmetry_bucket"]
 
 
-def weak_symmetry_bucket(engine, key, sol2, facet_kind2, dv, refd):
+def weak_symmetry_bucket(engine, key, sol2, facet_kind2, d_proj2, dv, refd):
     """Corrections for the two stress rows of one bucket.
+
+    The objective minimises the *corrector* norm || (sigma_z - psi sigma_proj)
+    + Delta || (reference ``stressmin_kernel.hpp:186-195`` loads
+    -(sigma_r, phi) with sigma_r the step-1/2 corrector), so the flux load is
+    -M c_row + (psi sigma_proj, phi).  The symmetry-constraint data may use
+    sigma_z directly: the hat-weighted projected stress is pointwise
+    symmetric, so its antisymmetric part vanishes.
 
     Args:
       engine: the EqlbEngine
       key: bucket key
       sol2 (2, P, nflux): patch-local flux solutions of stress rows 0, 1
       facet_kind2 (2, nf): facet kinds of the two rows
+      d_proj2 (2, nc, 2, ndg): projected-stress row dofs (for the psi-moment)
       dv/refd: device-resident bucket tables / reference tensors (passed as
         jit arguments, see engine docstring)
     Returns (2, P, nflux) corrections.
@@ -92,6 +100,13 @@ def weak_symmetry_bucket(engine, key, sol2, facet_kind2, dv, refd):
 
     cpen = refd["cpen"]
 
+    # hat-weighted projected-stress moments Fv (canonical, like the engine)
+    dp = d_proj2[:, dv["cells"]]  # (2, P, n, 2, ndg)
+    Rh = refd["Rhat"][dv["lnode"]]  # (P, n, ndg, 2, nrt)
+    Fv_full = jnp.einsum("rpcam,pcab,pcmbi->rpci", dp, J, Rh)
+    Fv_full = Fv_full * sdet[None, ..., None]
+    Fv = jnp.take_along_axis(Fv_full, perm[None].repeat(2, 0), axis=3) * signs[None]
+
     D = 2 * F + 2 * G + C + 3
     A = jnp.zeros((P, D, D), dt)
     rhs = jnp.zeros((P, D), dt)
@@ -116,9 +131,11 @@ def weak_symmetry_bucket(engine, key, sol2, facet_kind2, dv, refd):
             lam = il0 if row == 0 else il1
             A = A.at[:, qr, lam].add(adet[:, i, None] * cpen[None, :])
             A = A.at[:, lam, qr].add(adet[:, i, None] * cpen[None, :])
-            # L_flux = -M c_row
+            # L_flux = -(sigma_z - psi sigma_proj, phi) = -M c_row + Fv_row
             cloc = (c0 if row == 0 else c1)[:, ix]
-            rhs = rhs.at[:, fx].add(-jnp.einsum("pij,pj->pi", Mc[:, i], cloc))
+            rhs = rhs.at[:, fx].add(
+                Fv[row, :, i] - jnp.einsum("pij,pj->pi", Mc[:, i], cloc)
+            )
         # symmetry constraint rows: B1 = +y-component, B2 = -x-component
         uc = iuc + p1idx[i]
         B1 = Bsym[:, i, :, 1, :]  # (P, 3, nkeep)
