@@ -1,5 +1,13 @@
 from .spaces import FunctionSpace, Function  # noqa: F401
-from .expressions import Expr, as_expr, expr_from_callable, grad, div, comp  # noqa: F401
+from .expressions import (  # noqa: F401
+    Expr,
+    as_expr,
+    as_vector,
+    expr_from_callable,
+    grad,
+    div,
+    comp,
+)
 from .projection import (  # noqa: F401
     local_projection,
     local_solver_cholesky,

@@ -192,3 +192,19 @@ def div(f) -> Expr:
 
 def comp(e, i: int) -> Expr:
     return _CompExpr(as_expr(e), i)
+
+
+class _VectorExpr(Expr):
+    def __init__(self, comps):
+        self.comps = comps
+        self.mesh = comps[0].mesh
+        self.value_size = len(comps)
+
+    def evaluate(self, q):
+        return jnp.concatenate([c.evaluate(q) for c in self.comps], axis=-1)
+
+
+def as_vector(components, mesh=None) -> Expr:
+    """Stack scalar expressions into a vector expression (the role of
+    ufl.as_vector in the reference demos)."""
+    return _VectorExpr([as_expr(c, mesh) for c in components])
