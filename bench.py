@@ -1,0 +1,86 @@
+"""Headline benchmark: patches/sec equilibrated at RT2 on a 1M-cell mesh.
+
+BASELINE.md target: equilibrate a 1M-cell triangular mesh (all patches
+batched, semi-explicit strategy at RT2) in < 100 ms on a single TPU chip.
+``vs_baseline`` = (0.1 s) / (measured seconds per equilibrate) — values > 1
+beat the target.
+
+Runs on whatever backend JAX selects (the driver provides the real TPU).
+Compute dtype is float32: the TPU backend's batched LU is f32-only, and the
+bench measures throughput, not the f64 invariant checks (tests cover those
+on CPU).  All index tables enter the jitted program as device arguments.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main(n=500, k=2, repeats=5):
+    from dolfinx_eqlb_tpu.mesh import unit_square
+    from dolfinx_eqlb_tpu.fem import FunctionSpace
+    from dolfinx_eqlb_tpu.eqlb.patches import build_patches
+    from dolfinx_eqlb_tpu.eqlb.engine import EqlbEngine
+
+    t0 = time.perf_counter()
+    msh = unit_square(n)  # crossed: 4 n^2 cells
+    log(f"mesh: {msh.num_cells} cells, {msh.num_vertices} vertices "
+        f"({time.perf_counter()-t0:.1f}s)")
+    t0 = time.perf_counter()
+    buckets = build_patches(msh)
+    npatches = sum(b.npatches for b in buckets.values())
+    log(f"patches: {npatches} in {len(buckets)} buckets "
+        f"({time.perf_counter()-t0:.1f}s)")
+
+    V = FunctionSpace(msh, "RT", k)
+    t0 = time.perf_counter()
+    # chunk big buckets: bounds the padded batched-LU temp (a 249k x 57 x 57
+    # f32 LU alone pads to 7.6 GB of HBM)
+    engine = EqlbEngine(V, buckets, dtype=jnp.float32,
+                        max_patches_per_bucket=65536)
+    log(f"engine tables ({time.perf_counter()-t0:.1f}s)")
+
+    ndg = k * (k + 1) // 2
+    rng = np.random.default_rng(0)
+    nc = msh.num_cells
+    d_proj = jnp.asarray(rng.normal(size=(1, nc, 2, ndg)), jnp.float32)
+    d_rhs = jnp.asarray(rng.normal(size=(1, nc, ndg)), jnp.float32)
+    facet_kind = jnp.asarray(
+        np.where(msh.is_boundary_facet, 1, 0).astype(np.int8)[None]
+    )
+    bvals = jnp.zeros((1, msh.num_facets, k), jnp.float32)
+
+    t0 = time.perf_counter()
+    x = engine.equilibrate(d_proj, d_rhs, facet_kind, bvals)
+    x.block_until_ready()
+    log(f"first call (compile + transfer): {time.perf_counter()-t0:.1f}s")
+    assert not bool(jnp.isnan(x).any()), "NaN in equilibrated flux"
+
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        x = engine.equilibrate(d_proj, d_rhs, facet_kind, bvals)
+    x.block_until_ready()
+    dt = (time.perf_counter() - t0) / repeats
+    log(f"steady state: {dt*1000:.1f} ms per equilibrate "
+        f"({npatches/dt/1e6:.2f} M patches/s)")
+
+    print(json.dumps({
+        "metric": f"RT{k} flux equilibration throughput, "
+                  f"{msh.num_cells}-cell mesh, single chip, f32",
+        "value": round(npatches / dt, 1),
+        "unit": "patches/s",
+        "vs_baseline": round(0.1 / dt, 3),
+    }))
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    main(n=n)

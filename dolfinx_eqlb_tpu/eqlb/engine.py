@@ -100,15 +100,50 @@ class EqlbEngine:
         V_flux: FunctionSpace,
         buckets: dict[tuple, PatchBucket],
         dtype=None,
+        pad_to_multiple: int | None = None,
+        max_patches_per_bucket: int | None = None,
     ):
         """``dtype``: compute precision of the batched patch solves.  f64 is
         the default (the 1e-10-level invariant checks need it) but the TPU
         backend only implements batched LU in f32 — pass jnp.float32 there
-        (bench.py does)."""
+        (bench.py does).
+
+        ``pad_to_multiple``: pad every bucket's patch axis to a multiple of
+        this (for even sharding across a device mesh).  Pad entries repeat
+        the last patch but scatter to out-of-bounds global dofs, which XLA
+        drops — so padding never perturbs the result.
+
+        ``max_patches_per_bucket``: split large buckets into chunks of at
+        most this many patches — bounds the peak HBM of the batched LU temp
+        (a 249k x 57 x 57 f32 LU pads to 7.6 GB on TPU).
+        """
         assert V_flux.family == "RT"
         self.V = V_flux
         self.k = V_flux.degree
         self.mesh = V_flux.mesh
+        if max_patches_per_bucket:
+            from dataclasses import replace
+
+            split = {}
+            for key, b in buckets.items():
+                P = b.npatches
+                if P <= max_patches_per_bucket:
+                    split[key] = b
+                    continue
+                nchunks = -(-P // max_patches_per_bucket)
+                bounds = np.linspace(0, P, nchunks + 1).astype(np.int64)
+                for i in range(nchunks):
+                    s = slice(bounds[i], bounds[i + 1])
+                    split[key + (i,)] = replace(
+                        b,
+                        nodes=b.nodes[s],
+                        cells=b.cells[s],
+                        lnode=b.lnode[s],
+                        spokes=b.spokes[s],
+                        entry_loc=b.entry_loc[s],
+                        exit_loc=b.exit_loc[s],
+                    )
+            buckets = split
         self.buckets = buckets
         self.dtype = dtype or jnp.float64
         self.ref = reference_tensors(self.k)
@@ -125,6 +160,24 @@ class EqlbEngine:
                 fv = msh.facet_vertices[b.spokes[:, [0, -1]].astype(np.int64)]
                 t["z_is_lo"] = fv[..., 0] == b.nodes[:, None]  # (P, 2)
                 t["bspokes"] = b.spokes[:, [0, -1]].astype(np.int64)  # (P, 2)
+            if pad_to_multiple:
+                P = b.npatches
+                pad = (-P) % pad_to_multiple
+                if pad:
+                    per_patch = ["perm", "signs", "gdofs", "lv_hats", "J",
+                                 "detJ", "K", "z_is_lo", "bspokes", "cells",
+                                 "lnode"]
+                    t["cells"] = b.cells
+                    t["lnode"] = b.lnode
+                    for name in per_patch:
+                        if name in t:
+                            arr = t[name]
+                            t[name] = np.concatenate(
+                                [arr, np.repeat(arr[-1:], pad, axis=0)]
+                            )
+                    # pad rows scatter out of bounds -> dropped by XLA
+                    t["gdofs"][P:] = self.V.ndofs
+                t["n_valid"] = P
             self.tables[key] = t
         self._dev = None
         self._ref_dev = None
@@ -146,8 +199,8 @@ class EqlbEngine:
                 "K": jnp.asarray(t["K"], dt),
                 "perm": jnp.asarray(t["perm"], iidx),
                 "signs": jnp.asarray(t["signs"], dt),
-                "cells": jnp.asarray(b.cells, iidx),
-                "lnode": jnp.asarray(b.lnode, iidx),
+                "cells": jnp.asarray(t.get("cells", b.cells), iidx),
+                "lnode": jnp.asarray(t.get("lnode", b.lnode), iidx),
                 "gdofs": jnp.asarray(t["gdofs"], iidx),
                 "lv_hats": jnp.asarray(t["lv_hats"], iidx),
             }
@@ -231,7 +284,7 @@ class EqlbEngine:
         kk1 = self.V.element.ndofs_cell
         ndg = k * (k + 1) // 2
         n, ns = b.ncells, b.nspokes
-        P = b.npatches
+        P = dv["J"].shape[0]  # padded patch count
         n_rhs = d_proj.shape[0]
 
         D = ns * k + n * kk1 + n * ndg + 1
@@ -256,24 +309,33 @@ class EqlbEngine:
         Bc = sdet[..., None, None] * Dg * signs[..., None]
 
         # --- per-cell RHS data ---------------------------------------------------
+        # the hat-function index lnode takes only 3 values: contract against
+        # each reference slice and blend with one-hot masks instead of
+        # gathering (P, n, ...) tables — TPU tiling pads tiny trailing dims
+        # of materialized gathers by 16-85x (observed OOM on 1M-cell meshes)
         dp = d_proj[:, cells]  # (n_rhs, P, n, 2, ndg)
         fr = d_rhs[:, cells]  # (n_rhs, P, n, ndg)
-        Rh = refd["Rhat"][lnode]  # (P, n, ndg, 2, nrt)
-        # F_v[r,p,c,i] = sdet * d_am J_ab Rhat[l,m,b,i], canonical + signs
-        Fv_full = jnp.einsum("rpcam,pcab,pcmbi->rpci", dp, J, Rh)
+        dpJ = jnp.einsum("rpcam,pcab->rpcbm", dp, J)  # (n_rhs, P, n, 2, ndg)
+        Fv_full = jnp.zeros(dp.shape[:3] + (refd["Rhat"].shape[-1],), dt)
+        Fq = jnp.zeros((n_rhs, P, n, ndg), dt)
+        for l in range(3):
+            wl = (lnode == l).astype(dt)  # (P, n)
+            Fv_full = Fv_full + wl[None, ..., None] * jnp.einsum(
+                "rpcbm,mbi->rpci", dpJ, refd["Rhat"][l]
+            )
+            Fq = Fq + wl[None, ..., None] * jnp.einsum(
+                "rpcm,mq->rpcq", fr, refd["T3"][l]
+            )
+            # grad(psi)_a = K_{ba} ghat_b contribution
+            gpsi_l = jnp.einsum("pcba,b->pca", K, refd["hat_grads"][l])
+            Fq = Fq + wl[None, ..., None] * jnp.einsum(
+                "pca,rpcaq->rpcq", gpsi_l, dp
+            )
         Fv_full = Fv_full * sdet[None, ..., None]
+        Fq = Fq * adet[None, ..., None]
         Fv = jnp.take_along_axis(
             Fv_full, perm[None].repeat(n_rhs, 0), axis=3
         ) * signs[None]
-
-        T3 = refd["T3"][lnode]  # (P, n, ndg, ndg)
-        # grad(psi)_a = K_{ba} ghat_b, ghat = reference hat gradients
-        ghat = refd["hat_grads"][lnode]  # (P, n, 2)
-        gpsi = jnp.einsum("pcba,pcb->pca", K, ghat)
-        Fq = adet[None, ..., None] * (
-            jnp.einsum("rpcm,pcmq->rpcq", fr, T3)
-            + jnp.einsum("pca,rpcaq->rpcq", gpsi, dp)
-        )  # (n_rhs, P, n, ndg)
 
         # --- assemble the dense patch systems -----------------------------------
         A = jnp.zeros((P, D, D), dt)

@@ -67,7 +67,7 @@ def weak_symmetry_bucket(engine, key, sol2, facet_kind2, d_proj2, dv, refd):
     kk1 = el.ndofs_cell
     ndg = k * (k + 1) // 2
     n, ns = b.ncells, b.nspokes
-    P = b.npatches
+    P = dv["J"].shape[0]  # padded patch count
     F = ns * k + n * kk1
     G = n * ndg
     C = t["np1"]
@@ -89,13 +89,17 @@ def weak_symmetry_bucket(engine, key, sol2, facet_kind2, d_proj2, dv, refd):
     Dg = refd["Dhat"][perm]
     Bc = sdet[..., None, None] * Dg * signs[..., None]  # (P,n,nkeep,ndg)
 
-    # weak-symmetry coupling: Bsym[a-component][p,c,hat,idof]
+    # weak-symmetry coupling: Bsym[p,c,hat,a,idof]
     #   int hat_l (Phi_i)_a dx = sdet J_ab Rlam[l, b, i]
-    Rl = refd["Rlam"][dv["lv_hats"]]  # (P,n,3,2,nrt)
-    Rcan = jnp.take_along_axis(
-        Rl, perm[:, :, None, None, :], axis=4
-    )  # (P,n,3,2,nkeep)
-    Bsym = jnp.einsum("pcab,pchbi->pchai", J, Rcan)  # (P,n,3,2,nkeep)
+    # one-hot blend over the 3 local hat indices (avoids tiny-dim gathers)
+    lv = dv["lv_hats"]  # (P, n, 3) local vertex index per hat slot
+    Bsym = None
+    for l in range(3):
+        JR = jnp.einsum("pcab,bi->pcai", J, refd["Rlam"][l])  # (P,n,2,nrt)
+        wl = (lv == l).astype(dt)  # (P, n, 3)
+        term = wl[..., None, None] * JR[:, :, None]  # (P,n,3,2,nrt)
+        Bsym = term if Bsym is None else Bsym + term
+    Bsym = jnp.take_along_axis(Bsym, perm[:, :, None, None, :], axis=4)
     Bsym = Bsym * (sdet[..., None, None, None] * signs[:, :, None, None, :])
 
     cpen = refd["cpen"]

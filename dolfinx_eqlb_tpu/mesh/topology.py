@@ -35,42 +35,58 @@ class TriMesh:
         nc = self.num_cells = len(self.cells)
         self.num_vertices = len(self.points)
 
-        # --- facets: unique sorted vertex pairs over all cell edges
+        # --- facets: unique sorted vertex pairs over all cell edges.
+        # Native C++ extraction when available (facet ids in discovery
+        # order), NumPy fallback (ids in sorted-key order) — the numbering
+        # is internal and each mesh is self-consistent.
         ev = self.cells[:, _LOC]  # (nc, 3, 2) edge vertices (local order)
-        ev_sorted = np.sort(ev, axis=-1)
-        key = ev_sorted[..., 0].astype(np.int64) * self.num_vertices + ev_sorted[
-            ..., 1
-        ].astype(np.int64)
-        uniq, inv = np.unique(key.ravel(), return_inverse=True)
-        self.num_facets = len(uniq)
-        self.facet_vertices = np.stack(
-            [uniq // self.num_vertices, uniq % self.num_vertices], axis=-1
-        ).astype(np.int32)  # (nf, 2) canonical (lo, hi)
-        self.cell_facets = inv.reshape(nc, 3).astype(np.int32)
+        from .. import native
+
+        nat = native.build_facets(self.cells, self.num_vertices)
+        if nat is not None:
+            fv, cf, fc, fl = nat
+            self.num_facets = len(fv)
+            self.facet_vertices = fv
+            self.cell_facets = cf
+            self.facet_cells = fc
+            self.facet_local = fl
+        else:
+            ev_sorted = np.sort(ev, axis=-1)
+            key = ev_sorted[..., 0].astype(np.int64) * self.num_vertices + ev_sorted[
+                ..., 1
+            ].astype(np.int64)
+            uniq, inv = np.unique(key.ravel(), return_inverse=True)
+            self.num_facets = len(uniq)
+            self.facet_vertices = np.stack(
+                [uniq // self.num_vertices, uniq % self.num_vertices], axis=-1
+            ).astype(np.int32)  # (nf, 2) canonical (lo, hi)
+            self.cell_facets = inv.reshape(nc, 3).astype(np.int32)
+
+            # facet -> (cells, local ids): at most 2 cells per facet
+            order = np.argsort(inv.ravel(), kind="stable")
+            f_sorted = inv.ravel()[order]
+            cell_of = (order // 3).astype(np.int32)
+            loc_of = (order % 3).astype(np.int32)
+            counts = np.bincount(f_sorted, minlength=self.num_facets)
+            if counts.max() > 2:
+                raise ValueError("non-manifold mesh: facet shared by > 2 cells")
+            starts = np.concatenate([[0], np.cumsum(counts)])
+            self.facet_cells = np.full((self.num_facets, 2), -1, dtype=np.int32)
+            self.facet_local = np.full((self.num_facets, 2), -1, dtype=np.int32)
+            first = starts[:-1]
+            self.facet_cells[:, 0] = cell_of[first]
+            self.facet_local[:, 0] = loc_of[first]
+            has2 = counts == 2
+            self.facet_cells[has2, 1] = cell_of[first[has2] + 1]
+            self.facet_local[has2, 1] = loc_of[first[has2] + 1]
 
         # edge alignment: local direction (ascending local index -> vertices
         # ev[..., 0] -> ev[..., 1]) vs canonical (ascending global id)
         self.edge_aligned = ev[..., 0] < ev[..., 1]  # (nc, 3) bool
-
-        # --- facet -> (cells, local ids): at most 2 cells per facet
-        order = np.argsort(inv.ravel(), kind="stable")
-        f_sorted = inv.ravel()[order]
-        cell_of = (order // 3).astype(np.int32)
-        loc_of = (order % 3).astype(np.int32)
-        counts = np.bincount(f_sorted, minlength=self.num_facets)
-        if counts.max() > 2:
-            raise ValueError("non-manifold mesh: facet shared by > 2 cells")
-        starts = np.concatenate([[0], np.cumsum(counts)])
-        self.facet_cells = np.full((self.num_facets, 2), -1, dtype=np.int32)
-        self.facet_local = np.full((self.num_facets, 2), -1, dtype=np.int32)
-        first = starts[:-1]
-        self.facet_cells[:, 0] = cell_of[first]
-        self.facet_local[:, 0] = loc_of[first]
-        has2 = counts == 2
-        self.facet_cells[has2, 1] = cell_of[first[has2] + 1]
-        self.facet_local[has2, 1] = loc_of[first[has2] + 1]
-        self.boundary_facets = np.where(counts == 1)[0].astype(np.int32)
-        self.is_boundary_facet = counts == 1
+        self.is_boundary_facet = self.facet_cells[:, 1] < 0
+        self.boundary_facets = np.where(self.is_boundary_facet)[0].astype(
+            np.int32
+        )
 
         # --- vertex -> cells CSR (3 entries per cell)
         vflat = self.cells.ravel().astype(np.int64)

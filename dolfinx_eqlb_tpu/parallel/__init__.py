@@ -1,0 +1,1 @@
+from .sharding import ShardedEqlbEngine  # noqa: F401

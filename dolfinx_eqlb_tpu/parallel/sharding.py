@@ -1,0 +1,64 @@
+"""Multi-chip equilibration via patch-parallel SPMD.
+
+The reference scales through MPI-distributed DOLFINx meshes: each rank owns
+its vertices' patches and the (rare) shared data moves via ghost updates
+(SURVEY.md section 2.7).  The TPU-native equivalent is data parallelism over
+the *patch batch*: every bucket's patch axis is sharded across a 1-D device
+mesh; the per-patch assembly + batched LU are embarrassingly parallel, and
+the only communication is the final scatter-add into the replicated global
+flux vector (each facet dof receives contributions from exactly the two
+patches of its facet's endpoints), which GSPMD lowers to one all-reduce over
+ICI.  Pad patches scatter out of bounds and are dropped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..eqlb.engine import EqlbEngine
+
+__all__ = ["ShardedEqlbEngine"]
+
+
+class ShardedEqlbEngine:
+    """Wraps an EqlbEngine so every bucket's tables are sharded over a
+    1-D device mesh along the patch axis, inputs/outputs replicated."""
+
+    def __init__(self, engine: EqlbEngine, mesh: Mesh, axis: str = "patches"):
+        self.engine = engine
+        self.mesh = mesh
+        self.axis = axis
+        ndev = mesh.devices.size
+        for key, t in engine.tables.items():
+            npad = t["J"].shape[0]
+            if npad % ndev != 0:
+                raise ValueError(
+                    "construct the engine with pad_to_multiple=n_devices"
+                )
+        dev, refd = engine._device_tables()
+        shard = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        self.dev = jax.tree.map(
+            lambda a: jax.device_put(a, shard), dev
+        )
+        self.refd = jax.tree.map(lambda a: jax.device_put(a, repl), refd)
+        self._jit = jax.jit(
+            engine._equilibrate_impl,
+            static_argnames=("weak_symmetry",),
+            out_shardings=repl,
+        )
+
+    def equilibrate(self, sigma_proj_dofs, rhs_dofs, facet_kind, bvals,
+                    weak_symmetry=False):
+        eng = self.engine
+        repl = NamedSharding(self.mesh, P())
+        args = [
+            jax.device_put(jnp.asarray(sigma_proj_dofs, eng.dtype), repl),
+            jax.device_put(jnp.asarray(rhs_dofs, eng.dtype), repl),
+            jax.device_put(jnp.asarray(facet_kind), repl),
+            jax.device_put(jnp.asarray(bvals, eng.dtype), repl),
+        ]
+        return self._jit(*args, self.dev, self.refd, weak_symmetry=weak_symmetry)

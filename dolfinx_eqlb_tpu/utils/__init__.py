@@ -1,0 +1,1 @@
+from .perftest import run_perftest  # noqa: F401
