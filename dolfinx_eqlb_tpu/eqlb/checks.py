@@ -18,6 +18,7 @@ from ..fem.interpolate import interpolate
 from ..fem.assemble import cell_integrals_sq
 
 __all__ = [
+    "mesh_has_reversed_edges",
     "reconstructed_flux_expr",
     "check_divergence_condition",
     "check_jump_condition",
@@ -25,6 +26,18 @@ __all__ = [
     "check_boundary_conditions",
     "check_weak_symmetry_condition",
 ]
+
+
+def mesh_has_reversed_edges(mesh) -> bool:
+    """True if any interior facet runs anti-aligned in one of its cells
+    (reference ``check_eqlb_conditions.py:19-86`` via facet permutations;
+    here the orientation bit is explicit in the topology)."""
+    f = ~mesh.is_boundary_facet
+    a0 = mesh.edge_aligned[mesh.facet_cells[f, 0], mesh.facet_local[f, 0]]
+    a1 = mesh.edge_aligned[mesh.facet_cells[f, 1], mesh.facet_local[f, 1]]
+    bf = mesh.boundary_facets
+    ab = mesh.edge_aligned[mesh.facet_cells[bf, 0], mesh.facet_local[bf, 0]]
+    return bool((a0 != a1).any() or (~ab).any())
 
 
 def reconstructed_flux_expr(sigma_eq: Function, sigma_proj: Function):

@@ -121,19 +121,24 @@ class EqlbEngine:
         self.V = V_flux
         self.k = V_flux.degree
         self.mesh = V_flux.mesh
+        # "pallas": on-chip pivot-free LU (ops.patch_solve) — ~1000x less
+        # HBM traffic than XLA's LuDecomposition custom call; "xla": batched
+        # jnp.linalg.solve (robust default for f64 CPU testing)
+        self.solver = "xla"
+        self._chunk_target = {}
         if max_patches_per_bucket:
             from dataclasses import replace
 
+            C = max_patches_per_bucket
             split = {}
             for key, b in buckets.items():
                 P = b.npatches
-                if P <= max_patches_per_bucket:
+                if P <= C:
                     split[key] = b
                     continue
-                nchunks = -(-P // max_patches_per_bucket)
-                bounds = np.linspace(0, P, nchunks + 1).astype(np.int64)
+                nchunks = -(-P // C)
                 for i in range(nchunks):
-                    s = slice(bounds[i], bounds[i + 1])
+                    s = slice(i * C, min((i + 1) * C, P))
                     split[key + (i,)] = replace(
                         b,
                         nodes=b.nodes[s],
@@ -143,6 +148,9 @@ class EqlbEngine:
                         entry_loc=b.entry_loc[s],
                         exit_loc=b.exit_loc[s],
                     )
+                    # equal chunk sizes share one compiled executable; the
+                    # last chunk is padded up (pads scatter out of bounds)
+                    self._chunk_target[key + (i,)] = C
             buckets = split
         self.buckets = buckets
         self.dtype = dtype or jnp.float64
@@ -160,9 +168,12 @@ class EqlbEngine:
                 fv = msh.facet_vertices[b.spokes[:, [0, -1]].astype(np.int64)]
                 t["z_is_lo"] = fv[..., 0] == b.nodes[:, None]  # (P, 2)
                 t["bspokes"] = b.spokes[:, [0, -1]].astype(np.int64)  # (P, 2)
+            target = self._chunk_target.get(key, b.npatches)
             if pad_to_multiple:
+                target += (-target) % pad_to_multiple
+            if target > b.npatches:
                 P = b.npatches
-                pad = (-P) % pad_to_multiple
+                pad = target - P
                 if pad:
                     per_patch = ["perm", "signs", "gdofs", "lv_hats", "J",
                                  "detJ", "K", "z_is_lo", "bspokes", "cells",
@@ -218,7 +229,8 @@ class EqlbEngine:
     # -------------------------------------------------------------------------
 
     def equilibrate(
-        self, sigma_proj_dofs, rhs_dofs, facet_kind, bvals, weak_symmetry=False
+        self, sigma_proj_dofs, rhs_dofs, facet_kind, bvals,
+        weak_symmetry=False, fuse=None,
     ):
         """Solve all patch problems; returns global RT dof vectors
         (n_rhs, ndofs_flux).
@@ -235,19 +247,60 @@ class EqlbEngine:
                           global scatter (reference FluxEqlbSE stress path)
         """
         dev, refd = self._device_tables()
-        if self._jit_eq is None:
-            self._jit_eq = jax.jit(
-                self._equilibrate_impl, static_argnames=("weak_symmetry",)
-            )
-        return self._jit_eq(
+        args = (
             jnp.asarray(sigma_proj_dofs, self.dtype),
             jnp.asarray(rhs_dofs, self.dtype),
             jnp.asarray(facet_kind),
             jnp.asarray(bvals, self.dtype),
-            dev,
-            refd,
-            weak_symmetry=weak_symmetry,
         )
+        npatches = sum(b.npatches for b in self.buckets.values())
+        if fuse is None:
+            # one fused XLA program is fastest when it fits comfortably; at
+            # large patch counts the fused schedule rematerialises under
+            # memory pressure, so dispatch one executable per bucket (equal
+            # chunk shapes share compiles)
+            fuse = npatches <= 150_000
+        if not fuse:
+            return self._equilibrate_unfused(*args, dev, refd, weak_symmetry)
+        if self._jit_eq is None:
+            self._jit_eq = jax.jit(
+                self._equilibrate_impl, static_argnames=("weak_symmetry",)
+            )
+        return self._jit_eq(*args, dev, refd, weak_symmetry=weak_symmetry)
+
+    def _equilibrate_unfused(self, d_proj, d_rhs, facet_kind, bvals, dev,
+                             refd, weak_symmetry):
+        if not hasattr(self, "_jit_bucket"):
+            self._jit_bucket = {}
+            self._jit_scatter = jax.jit(
+                lambda x, sol, gd: x.at[:, gd].add(sol), donate_argnums=0
+            )
+
+        def make(key):
+            def run(dp, dr, fk, bv, dv, rf):
+                sol = self._solve_bucket(key, dp, dr, fk, bv, dv, rf)
+                if weak_symmetry:
+                    from .stress import weak_symmetry_bucket
+
+                    delta = weak_symmetry_bucket(
+                        self, key, sol[:2], fk[:2], dp[:2], dv, rf
+                    )
+                    sol = sol.at[:2].add(delta)
+                return sol
+
+            return jax.jit(run)
+
+        n_rhs = d_proj.shape[0]
+        x = jnp.zeros((n_rhs, self.V.ndofs), self.dtype)
+        for key in sorted(self.buckets.keys()):
+            jkey = (key[:2], self.buckets[key].npatches, weak_symmetry)
+            if jkey not in self._jit_bucket:
+                self._jit_bucket[jkey] = make(key)
+            sol = self._jit_bucket[jkey](
+                d_proj, d_rhs, facet_kind, bvals, dev[key], refd
+            )
+            x = self._jit_scatter(x, sol, dev[key]["gdofs"])
+        return x
 
     def _equilibrate_impl(
         self, d_proj, d_rhs, facet_kind, bvals, dev, refd, weak_symmetry=False
@@ -274,8 +327,15 @@ class EqlbEngine:
         Ar, br, nflux = self._assemble_bucket(
             key, d_proj, d_rhs, facet_kind, bvals, dv, refd
         )
-        sol = jnp.linalg.solve(Ar, br[..., None])[..., 0]
+        sol = self._dense_solve(Ar, br[..., None])[..., 0]
         return sol[:, :, :nflux]
+
+    def _dense_solve(self, A, b):
+        if self.solver == "pallas":
+            from ..ops.patch_solve import batched_kkt_solve
+
+            return batched_kkt_solve(A, b)
+        return jnp.linalg.solve(A, b)
 
     def _assemble_bucket(self, key, d_proj, d_rhs, facet_kind, bvals, dv, refd):
         b = self.buckets[key]
@@ -287,7 +347,7 @@ class EqlbEngine:
         P = dv["J"].shape[0]  # padded patch count
         n_rhs = d_proj.shape[0]
 
-        D = ns * k + n * kk1 + n * ndg + 1
+        D = ns * k + n * kk1 + n * ndg
         nflux = ns * k + n * kk1
 
         dt = self.dtype
@@ -340,6 +400,7 @@ class EqlbEngine:
         # --- assemble the dense patch systems -----------------------------------
         A = jnp.zeros((P, D, D), dt)
         bvec = jnp.zeros((n_rhs, P, D), dt)
+        cvec = jnp.zeros((P, n * ndg), dt)  # constraint mean-mode vector
         cpen = refd["cpen"]
         pidx = t["patch_idx"]  # (n, nkeep) static numpy
         for i in range(n):
@@ -350,8 +411,9 @@ class EqlbEngine:
                 jnp.swapaxes(Bc[:, i], 1, 2)
             )
             A = A.at[:, ix[:, None], qrow[None, :]].add(-Bc[:, i])
-            A = A.at[:, qrow, D - 1].add(adet[:, i, None] * cpen[None, :])
-            A = A.at[:, D - 1, qrow].add(adet[:, i, None] * cpen[None, :])
+            cvec = cvec.at[:, i * ndg + np.arange(ndg)].add(
+                adet[:, i, None] * cpen[None, :]
+            )
             bvec = bvec.at[:, :, ix].add(Fv[:, :, i])
             bvec = bvec.at[:, :, qrow].add(Fq[:, :, i])
 
@@ -380,9 +442,25 @@ class EqlbEngine:
             lam_on = ess[:, :, 0] & ess[:, :, 1]
         else:
             lam_on = jnp.ones((n_rhs, P), dtype=bool)
-        mask = mask.at[:, :, D - 1].set(~lam_on)
 
+        # mean-value multiplier as an exact rank-1 regularization: the
+        # constraint Schur complement B M^-1 B^T is PSD with null space
+        # spanned by the constant mode c on interior / pure-Neumann patches;
+        # adding beta c c^T to the r-block leaves sigma unchanged (B^T c = 0)
+        # and makes every pivot of the [sigma | r] ordering structurally
+        # nonzero — the bordered-lambda form of the reference
+        # (ev/assembly.hpp:280-305) would hit an exactly-zero pivot in the
+        # pivot-free on-chip factorization (ops.patch_solve)
+        R1 = cvec[:, :, None] * cvec[:, None, :] / (
+            jnp.einsum("pq,pq->p", cvec, cvec)[:, None, None]
+        )
+        Ar = jnp.broadcast_to(A[None], (n_rhs,) + A.shape)
+        Ar = Ar + jnp.where(
+            lam_on[..., None, None],
+            jnp.pad(R1, ((0, 0), (nflux, 0), (nflux, 0)))[None],
+            0.0,
+        )
         eye = jnp.eye(D, dtype=dt)
-        Ar = jnp.where(mask[..., None], eye[None, None], A[None])
+        Ar = jnp.where(mask[..., None], eye[None, None], Ar)
         br = jnp.where(mask, values, bvec)
         return Ar, br, nflux

@@ -181,6 +181,8 @@ def weak_symmetry_bucket(engine, key, sol2, facet_kind2, d_proj2, dv, refd):
     eye = jnp.eye(D, dtype=dt)
     Ar = jnp.where(mask[..., None], eye[None], A)
     br = jnp.where(mask, 0.0, rhs)
+    # the weak-symmetry KKT has nested singular Schur blocks; keep the
+    # pivoting XLA LU here (it is not the throughput hot path)
     sol = jnp.linalg.solve(Ar, br[..., None])[..., 0]
     return jnp.stack([sol[:, :F], sol[:, F : 2 * F]])
 

@@ -29,12 +29,18 @@ def estimate_poisson(
     sigma_eq: Function,
     sigma_proj: Function | None = None,
     quadrature_degree: int | None = None,
+    coefficient=None,
 ):
     """Returns (eta_total, eta_sig, eta_osc, cell_eta_sq).
 
     ``f`` is the exact right-hand side (expression/callable).  For the SE
     equilibrator pass the corrector as ``sigma_eq`` and the projected flux as
     ``sigma_proj``; for EV pass the conforming flux and sigma_proj=None.
+
+    ``coefficient``: optional cell-wise diffusion kappa (for
+    -div(kappa grad u) = f): the estimator measures in the energy norm
+    kappa^{-1/2}-weighted (Kellogg checkerboard demo,
+    reference ``poisson_adaptive/demo_discont-coeff.py``).
     """
     msh = uh.space.mesh
     k = sigma_eq.space.degree
@@ -46,11 +52,20 @@ def estimate_poisson(
     else:  # SE: reconstructed flux = corrector + projected flux
         err_sig = as_expr(sigma_eq)
         sig_R = as_expr(sigma_eq) + as_expr(sigma_proj)
+    if coefficient is not None:
+        kap = jnp.asarray(coefficient)
+        if sigma_eq.space.family == "RT":
+            from ..fem.expressions import cell_scale
+
+            err_sig = as_expr(sigma_eq) + cell_scale(grad(uh), kap)
 
     eta_sig2 = cell_integrals_sq(err_sig, qdeg)
     osc = as_expr(f, msh) - _div_expr(sig_R)
     h = jnp.asarray(msh.h_cell)
     eta_osc2 = (h / np.pi) ** 2 * cell_integrals_sq(osc, qdeg)
+    if coefficient is not None:
+        eta_sig2 = eta_sig2 / kap
+        eta_osc2 = eta_osc2 / kap
 
     cell_eta_sq = (jnp.sqrt(eta_sig2) + jnp.sqrt(eta_osc2)) ** 2
     eta = float(jnp.sqrt(cell_eta_sq.sum()))

@@ -7,6 +7,7 @@ from .expressions import (  # noqa: F401
     grad,
     div,
     comp,
+    cell_scale,
 )
 from .projection import (  # noqa: F401
     local_projection,

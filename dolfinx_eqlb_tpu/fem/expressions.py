@@ -194,6 +194,27 @@ def comp(e, i: int) -> Expr:
     return _CompExpr(as_expr(e), i)
 
 
+class _CellScale(Expr):
+    """Per-cell scaling (e.g. a DG0 diffusion coefficient)."""
+
+    def __init__(self, a: Expr, values):
+        self.a = a
+        self.values = jnp.asarray(values)
+        self.mesh = a.mesh
+        self.value_size = a.value_size
+
+    def evaluate(self, q):
+        return self.values[:, None, None] * self.a.evaluate(q)
+
+    def evaluate_div(self, q):
+        return self.values[:, None, None] * self.a.evaluate_div(q)
+
+
+def cell_scale(e, values) -> Expr:
+    """Scale an expression by a per-cell constant array (ncells,)."""
+    return _CellScale(as_expr(e), values)
+
+
 class _VectorExpr(Expr):
     def __init__(self, comps):
         self.comps = comps

@@ -40,7 +40,11 @@ def locate_dofs_on_facets(V: FunctionSpace, facets: np.ndarray) -> np.ndarray:
 
 
 class PoissonSolver:
-    def __init__(self, V: FunctionSpace, quadrature_degree: int | None = None):
+    def __init__(self, V: FunctionSpace, quadrature_degree: int | None = None,
+                 coefficient=None):
+        """``coefficient``: optional cell-wise diffusion kappa — an array
+        (ncells,) or a callable evaluated at cell centroids (the Kellogg
+        checkerboard demo, reference ``poisson_adaptive/demo_discont-coeff.py``)."""
         assert V.family == "P" and V.block_size == 1
         self.V = V
         msh = V.mesh
@@ -51,9 +55,19 @@ class PoissonSolver:
         Shat = np.einsum("q,iaq,jbq->abij", w, tabg, tabg)
         self.Shat = jnp.asarray(Shat)
         K = msh.K
+        if coefficient is None:
+            kap = np.ones(msh.num_cells)
+        elif callable(coefficient):
+            cent = msh.map_points(np.array([[1 / 3, 1 / 3]]))[:, 0]
+            kap = np.asarray(coefficient(cent))
+        else:
+            kap = np.asarray(coefficient)
+        self.coefficient = kap
         # gradient chain rule: grad(phi) = K^T grad_ref(phi), so
-        # A_c[i,j] = |detJ| (K K^T)_{ab} Shat_ab[i,j]
-        G = np.abs(msh.detJ)[:, None, None] * np.einsum("cax,cbx->cab", K, K)
+        # A_c[i,j] = kappa_c |detJ| (K K^T)_{ab} Shat_ab[i,j]
+        G = (kap * np.abs(msh.detJ))[:, None, None] * np.einsum(
+            "cax,cbx->cab", K, K
+        )
         self.G = jnp.asarray(G)
         self.cell_dofs = jnp.asarray(V.cell_dofs.astype(np.int64))
         self.ndofs = V.ndofs
