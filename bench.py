@@ -46,7 +46,10 @@ def main(n=500, k=2, repeats=5):
     # f32 LU alone pads to 7.6 GB of HBM)
     engine = EqlbEngine(V, buckets, dtype=jnp.float32,
                         max_patches_per_bucket=65536)
-    log(f"engine tables ({time.perf_counter()-t0:.1f}s)")
+    # on-chip pivot-free factorization (ops.patch_solve): XLA's batched LU
+    # makes O(D) serial HBM passes and is ~5x slower end to end
+    engine.solver = "pallas" if jax.default_backend() == "tpu" else "xla"
+    log(f"engine tables ({time.perf_counter()-t0:.1f}s, solver={engine.solver})")
 
     ndg = k * (k + 1) // 2
     rng = np.random.default_rng(0)

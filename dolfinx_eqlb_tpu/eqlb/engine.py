@@ -255,11 +255,12 @@ class EqlbEngine:
         )
         npatches = sum(b.npatches for b in self.buckets.values())
         if fuse is None:
-            # one fused XLA program is fastest when it fits comfortably; at
-            # large patch counts the fused schedule rematerialises under
-            # memory pressure, so dispatch one executable per bucket (equal
-            # chunk shapes share compiles)
-            fuse = npatches <= 150_000
+            # one fused XLA program minimises dispatch overhead; with the
+            # Pallas solver it also fits memory at any size (no padded
+            # LuDecomposition temps).  The XLA-LU path rematerialises under
+            # memory pressure at large patch counts, so it dispatches one
+            # executable per bucket chunk there.
+            fuse = (self.solver == "pallas") or npatches <= 150_000
         if not fuse:
             return self._equilibrate_unfused(*args, dev, refd, weak_symmetry)
         if self._jit_eq is None:
@@ -272,6 +273,7 @@ class EqlbEngine:
                              refd, weak_symmetry):
         if not hasattr(self, "_jit_bucket"):
             self._jit_bucket = {}
+        if not hasattr(self, "_jit_scatter"):
             self._jit_scatter = jax.jit(
                 lambda x, sol, gd: x.at[:, gd].add(sol), donate_argnums=0
             )
