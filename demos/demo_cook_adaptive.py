@@ -24,9 +24,19 @@ TRACTION = 1.0 / 16.0
 
 
 def run(order_prime=2, degree=2, theta=0.5, max_iter=6, n0=2, verbose=True):
+    from dolfinx_eqlb_tpu.eqlb.patches import refine_for_stress
+
     msh = cook_membrane(n0, n0)
     history = []
     for it in range(max_iter):
+        # pure-traction corner patches with 2 cells cannot satisfy the
+        # weak-symmetry constraints at degree 2 (the reference groups them,
+        # se/reconstruction.hpp:166-234) — enlarge them by bisection
+        tr_all = np.setdiff1d(
+            msh.boundary_facets,
+            msh.locate_boundary_facets(lambda x: np.isclose(x[..., 0], 0.0)),
+        )
+        msh = refine_for_stress(msh, tr_all)
         V = FunctionSpace(msh, "P", order_prime, vs=2)
         left = msh.locate_boundary_facets(lambda x: np.isclose(x[..., 0], 0.0))
         right = msh.locate_boundary_facets(lambda x: np.isclose(x[..., 0], 48.0))

@@ -158,6 +158,24 @@ class FluxEqlbSE(FluxEquilibrator):
         if self.equilibrate_stress and self.degree_flux < 2:
             # reference se/reconstruction.hpp:357-388 enforces the same
             raise ValueError("stress equilibration requires flux degree >= 2")
+        if self.equilibrate_stress and self.degree_flux == 2 and self.boundary_data is not None:
+            from .patches import deficient_stress_vertices
+
+            bad = deficient_stress_vertices(
+                self.mesh, self.boundary_data.facet_kind
+            )
+            if len(bad):
+                # reference parity: se/reconstruction.hpp raises
+                # "Incompatible mesh! To many patches with 2 cells on
+                # neumann boundary." (it groups such patches when they
+                # neighbour an interior patch; grouping is not implemented
+                # here yet)
+                raise ValueError(
+                    "Incompatible mesh: pure-traction boundary patches with "
+                    f"<= 2 cells at vertices {bad.tolist()} cannot satisfy "
+                    "the weak-symmetry constraints at flux degree 2. "
+                    "Refine them first (eqlb.patches.refine_for_stress)."
+                )
         x = self._solve(weak_symmetry=self.equilibrate_stress)
         self.list_flux = []
         for i in range(self.n_fluxes):

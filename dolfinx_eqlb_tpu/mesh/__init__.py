@@ -6,4 +6,4 @@ from .generators import (  # noqa: F401
     cook_membrane,
     permute_vertices,
 )
-from .refine import refine_uniform, refine_marked  # noqa: F401
+from .refine import refine_uniform, refine_marked, refine_facets  # noqa: F401

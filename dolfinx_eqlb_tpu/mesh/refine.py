@@ -12,7 +12,7 @@ import numpy as np
 
 from .topology import TriMesh
 
-__all__ = ["refine_uniform", "refine_marked"]
+__all__ = ["refine_uniform", "refine_marked", "refine_facets"]
 
 
 def _midpoint_ids(msh: TriMesh, split: np.ndarray):
@@ -54,13 +54,33 @@ def _longest_edge(msh: TriMesh) -> np.ndarray:
     return np.argmax(key, axis=1)
 
 
+def refine_facets(msh: TriMesh, facets: np.ndarray) -> TriMesh:
+    """Bisect exactly the given facets (no propagation).
+
+    Used e.g. to enlarge 2-cell pure-traction corner patches before stress
+    equilibration (the role of the reference's patch grouping /
+    boundary-patch refinement, ``se/reconstruction.hpp:166-234`` and
+    ``test/unit/utils.py:141-176``)."""
+    split = np.zeros(msh.num_facets, dtype=bool)
+    split[np.asarray(facets, dtype=np.int64)] = True
+    # no longest-edge propagation: conformity is automatic (every cell is
+    # subdivided according to its split facets); propagation would co-split
+    # longer incident edges and defeat e.g. corner-degree enlargement
+    return _refine_split(msh, split, propagate=False)
+
+
 def refine_marked(msh: TriMesh, marked_cells: np.ndarray) -> TriMesh:
     """Rivara longest-edge bisection of ``marked_cells`` with propagation."""
     le = _longest_edge(msh)
     split = np.zeros(msh.num_facets, dtype=bool)
     split[msh.cell_facets[np.asarray(marked_cells, dtype=np.int64), le[marked_cells]]] = True
+    return _refine_split(msh, split)
+
+
+def _refine_split(msh: TriMesh, split: np.ndarray, propagate=True) -> TriMesh:
+    le = _longest_edge(msh)
     # propagate: if a cell has any split edge, its longest edge must be split
-    while True:
+    while propagate:
         has_split = split[msh.cell_facets].any(axis=1)
         need = msh.cell_facets[np.arange(msh.num_cells), le]
         new = has_split & ~split[need]
