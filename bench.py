@@ -24,7 +24,11 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main(n=500, k=2, repeats=5):
+def main(n=500, k=2, repeats=5, n_fields=1):
+    """``n_fields > 1`` benchmarks the multi-field (poro-elasticity-style)
+    configuration of BASELINE.json: several RHS equilibrated simultaneously
+    through the shared patch factorizations (reference perftest_basics.py
+    Biot test cases)."""
     from dolfinx_eqlb_tpu.mesh import unit_square
     from dolfinx_eqlb_tpu.fem import FunctionSpace
     from dolfinx_eqlb_tpu.eqlb.patches import build_patches
@@ -54,12 +58,13 @@ def main(n=500, k=2, repeats=5):
     ndg = k * (k + 1) // 2
     rng = np.random.default_rng(0)
     nc = msh.num_cells
-    d_proj = jnp.asarray(rng.normal(size=(1, nc, 2, ndg)), jnp.float32)
-    d_rhs = jnp.asarray(rng.normal(size=(1, nc, ndg)), jnp.float32)
+    nf = n_fields
+    d_proj = jnp.asarray(rng.normal(size=(nf, nc, 2, ndg)), jnp.float32)
+    d_rhs = jnp.asarray(rng.normal(size=(nf, nc, ndg)), jnp.float32)
     facet_kind = jnp.asarray(
-        np.where(msh.is_boundary_facet, 1, 0).astype(np.int8)[None]
+        np.where(msh.is_boundary_facet, 1, 0).astype(np.int8)[None].repeat(nf, 0)
     )
-    bvals = jnp.zeros((1, msh.num_facets, k), jnp.float32)
+    bvals = jnp.zeros((nf, msh.num_facets, k), jnp.float32)
 
     # NOTE: block_until_ready is unreliable on the axon relay backend —
     # a small device-to-host readback is the only true synchronisation
@@ -79,9 +84,10 @@ def main(n=500, k=2, repeats=5):
     log(f"steady state: {dt*1000:.1f} ms per equilibrate "
         f"({npatches/dt/1e6:.2f} M patches/s)")
 
+    field_tag = f", {n_fields} fields" if n_fields > 1 else ""
     print(json.dumps({
         "metric": f"RT{k} flux equilibration throughput, "
-                  f"{msh.num_cells}-cell mesh, single chip, f32",
+                  f"{msh.num_cells}-cell mesh, single chip, f32{field_tag}",
         "value": round(npatches / dt, 1),
         "unit": "patches/s",
         "vs_baseline": round(0.1 / dt, 3),
@@ -90,4 +96,5 @@ def main(n=500, k=2, repeats=5):
 
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    main(n=n)
+    n_fields = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    main(n=n, n_fields=n_fields)
