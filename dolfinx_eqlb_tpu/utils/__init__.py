@@ -1,1 +1,2 @@
 from .perftest import run_perftest  # noqa: F401
+from .profiling import timed, trace, sync  # noqa: F401
