@@ -333,7 +333,10 @@ class EqlbEngine:
         return sol[:, :, :nflux]
 
     def _dense_solve(self, A, b):
-        if self.solver == "pallas":
+        D = A.shape[-1]
+        # the Pallas solver keeps 2 (D, D, 128) f32 tiles in VMEM; beyond
+        # D ~ 96 that exceeds the ~16 MB budget -> fall back to XLA LU
+        if self.solver == "pallas" and D * D * 128 * 4 * 2 < 12 * 2**20:
             from ..ops.patch_solve import batched_kkt_solve
 
             return batched_kkt_solve(A, b)
