@@ -154,11 +154,21 @@ class EqlbEngine:
             buckets = split
         self.buckets = buckets
         self.dtype = dtype or jnp.float64
+        # "semiexplicit": explicit divergence step + reduced H(div=0) SPD
+        # solve (the fast path, dimension 1 + ns(k-1) + n(k-1)(k-2)/2);
+        # "kkt": full per-patch saddle-point system (reference path for
+        # cross-checking, dimension nflux + n*ndg)
+        self.mode = "semiexplicit"
         self.ref = reference_tensors(self.k)
+        self.se_static = {}
         self.tables = {}
         msh = self.mesh
+        from .semiexplicit import se_host_tables, se_static
+
         for key, b in buckets.items():
             t = bucket_dof_tables(b, V_flux)
+            self.se_static[key] = se_static(b, self.k)
+            t.update(se_host_tables(b, t, msh, self.k))
             cells64 = b.cells.astype(np.int64)
             t["J"] = msh.J[cells64]  # (P, n, 2, 2)
             t["detJ"] = msh.detJ[cells64]
@@ -177,7 +187,7 @@ class EqlbEngine:
                 if pad:
                     per_patch = ["perm", "signs", "gdofs", "lv_hats", "J",
                                  "detJ", "K", "z_is_lo", "bspokes", "cells",
-                                 "lnode"]
+                                 "lnode", "gamma", "cumalpha", "combo"]
                     t["cells"] = b.cells
                     t["lnode"] = b.lnode
                     for name in per_patch:
@@ -190,6 +200,59 @@ class EqlbEngine:
                     t["gdofs"][P:] = self.V.ndofs
                 t["n_valid"] = P
             self.tables[key] = t
+
+        # --- combine tables: gather-based global accumulation ----------------
+        # TPU scatter-add serializes colliding updates (measured 17 ms for a
+        # 1.4M-element scatter at 160k cells); every global dof has at most 3
+        # contributors (2 patches per facet dof, 3 per cell dof), so the
+        # semi-explicit path instead gathers from the concatenated flat
+        # (nflux-major) bucket solutions
+        ndofs = self.V.ndofs
+        allg, allidx = [], []
+        off = 0
+        self._flat_offsets = {}
+        for key in sorted(self.tables.keys()):
+            g = self.tables[key]["gdofs"]  # (Ppad, nflux)
+            Ppad, nflux = g.shape
+            self._flat_offsets[key] = off
+            pp, ff = np.nonzero(g < ndofs)
+            allg.append(g[pp, ff].astype(np.int64))
+            allidx.append(off + ff * Ppad + pp)
+            off += Ppad * nflux
+        allg = np.concatenate(allg)
+        allidx = np.concatenate(allidx)
+        order = np.argsort(allg, kind="stable")
+        sg, si = allg[order], allidx[order]
+        start = np.searchsorted(sg, np.arange(ndofs), side="left")
+        poscol = np.arange(len(sg)) - start[sg]
+        if len(poscol) and poscol.max() > 2:
+            raise RuntimeError("dof with more than 3 patch contributions")
+        src = np.full((ndofs, 3), off, dtype=np.int64)  # off = zero pad slot
+        src[sg, poscol] = si
+        self._flat_len = off
+        # gather-by-128-row layout: fetch full 128-lane rows (bandwidth-bound
+        # XLA gather), select lanes in a Pallas epilogue (ops.lane_select);
+        # index tables pre-shaped (G, 8, 128, C) for native output tiles
+        Lpad = -(-(off + 1) // 128) * 128
+        nfk = self.V.mesh.num_facets * self.k
+        assert np.all(src[:nfk, 2] == off), "facet dof with 3 contributors"
+
+        def shaped(s):
+            M, C = s.shape
+            pad = (-M) % 1024
+            s = np.pad(s, ((0, pad), (0, 0)))  # pads read row 0, sliced away
+            return (
+                (s // 128).astype(np.int32).reshape(-1),  # pre-flattened
+                (s % 128).astype(np.int32).reshape(-1, 8, 128, C),
+            )
+
+        rows01, lane01 = shaped(src[:, :2])
+        rows2, lane2 = shaped(src[nfk:, 2:])
+        self._combine = dict(
+            Lpad=Lpad, nfk=nfk, rows01=rows01, lane01=lane01,
+            rows2=rows2, lane2=lane2,
+        )
+
         self._dev = None
         self._ref_dev = None
         self._jit_eq = None
@@ -204,16 +267,29 @@ class EqlbEngine:
         dev = {}
         for key, t in self.tables.items():
             b = self.buckets[key]
+            cells = t.get("cells", b.cells)
             d = {
                 "J": jnp.asarray(t["J"], dt),
                 "detJ": jnp.asarray(t["detJ"], dt),
                 "K": jnp.asarray(t["K"], dt),
                 "perm": jnp.asarray(t["perm"], iidx),
                 "signs": jnp.asarray(t["signs"], dt),
-                "cells": jnp.asarray(t.get("cells", b.cells), iidx),
+                "cells": jnp.asarray(cells, iidx),
                 "lnode": jnp.asarray(t.get("lnode", b.lnode), iidx),
                 "gdofs": jnp.asarray(t["gdofs"], iidx),
                 "lv_hats": jnp.asarray(t["lv_hats"], iidx),
+                "divdiag": jnp.asarray(t["divdiag"], dt),
+                # batch-last tables of the semi-explicit path: the patch axis
+                # sits on the TPU lane dimension, so the tiny element dims
+                # never hit the (8, 128) tile padding
+                "J_bl": jnp.asarray(np.moveaxis(t["J"], 0, -1), dt),
+                "K_bl": jnp.asarray(np.moveaxis(t["K"], 0, -1), dt),
+                "detJ_bl": jnp.asarray(t["detJ"].T, dt),
+                "signs_bl": jnp.asarray(np.moveaxis(t["signs"], 0, -1), dt),
+                "combo_bl": jnp.asarray(t["combo"].T, jnp.int8),
+                "cells_bl": jnp.asarray(cells.T, iidx),
+                "gamma_bl": jnp.asarray(t["gamma"].T, dt),
+                "cumalpha_bl": jnp.asarray(t["cumalpha"].T, dt),
             }
             if b.is_boundary:
                 d["bspokes"] = jnp.asarray(t["bspokes"], iidx)
@@ -223,14 +299,54 @@ class EqlbEngine:
             name: jnp.asarray(arr, dt) for name, arr in self.ref.items()
         }
         refd["hat_grads"] = jnp.asarray(_HAT_GRADS, dt)
+        for name in ("rows01", "lane01", "rows2", "lane2"):
+            refd[name] = jnp.asarray(self._combine[name], jnp.int32)
+        from .semiexplicit import (
+            combo_tensors, mass_matrices_bl, reduced_system_bl,
+        )
+
+        for name, arr in combo_tensors(self.k).items():
+            refd[name] = jnp.asarray(arr, dt)
+
+        # geometry caches: element mass matrices and reduced H(div=0)
+        # matrices are call-invariant — build them once per bucket shape
+        geom_jit = {}
+        for key in sorted(self.tables.keys()):
+            b = self.buckets[key]
+            sig = (b.ncells, b.is_boundary, dev[key]["J_bl"].shape[-1])
+            if sig not in geom_jit:
+                def build(dvk, rf, _key=key):
+                    Mc = mass_matrices_bl(self, _key, dvk, rf)
+                    Az, _ = reduced_system_bl(self, _key, Mc, dvk)
+                    return Mc, Az
+
+                geom_jit[sig] = jax.jit(build)
+            Mc, Az = geom_jit[sig](dev[key], refd)
+            dev[key]["Mc_bl"] = Mc
+            dev[key]["Az_bl"] = Az
         self._dev, self._ref_dev = dev, refd
         return dev, refd
 
     # -------------------------------------------------------------------------
 
+    def put_transposed(self, sigma_proj_dofs, rhs_dofs):
+        """Host-transpose batch-major dof data to the semi-explicit path's
+        batch-last layout and upload once; pass the result to ``equilibrate``
+        with ``transposed_inputs=True`` to keep repeated calls free of
+        host->device transfers."""
+        dpT = jnp.asarray(
+            np.ascontiguousarray(np.moveaxis(np.asarray(sigma_proj_dofs), 1, -1)),
+            self.dtype,
+        )
+        drT = jnp.asarray(
+            np.ascontiguousarray(np.moveaxis(np.asarray(rhs_dofs), 1, -1)),
+            self.dtype,
+        )
+        return dpT, drT
+
     def equilibrate(
         self, sigma_proj_dofs, rhs_dofs, facet_kind, bvals,
-        weak_symmetry=False, fuse=None,
+        weak_symmetry=False, fuse=None, transposed_inputs=False,
     ):
         """Solve all patch problems; returns global RT dof vectors
         (n_rhs, ndofs_flux).
@@ -247,12 +363,6 @@ class EqlbEngine:
                           global scatter (reference FluxEqlbSE stress path)
         """
         dev, refd = self._device_tables()
-        args = (
-            jnp.asarray(sigma_proj_dofs, self.dtype),
-            jnp.asarray(rhs_dofs, self.dtype),
-            jnp.asarray(facet_kind),
-            jnp.asarray(bvals, self.dtype),
-        )
         npatches = sum(b.npatches for b in self.buckets.values())
         if fuse is None:
             # one fused XLA program minimises dispatch overhead; with the
@@ -260,7 +370,37 @@ class EqlbEngine:
             # LuDecomposition temps).  The XLA-LU path rematerialises under
             # memory pressure at large patch counts, so it dispatches one
             # executable per bucket chunk there.
-            fuse = (self.solver == "pallas") or npatches <= 150_000
+            fuse = (
+                self.mode == "semiexplicit"
+                or (self.solver == "pallas")
+                or npatches <= 150_000
+            )
+        if fuse and self.mode == "semiexplicit":
+            # transpose to batch-last on the host when possible: a device
+            # transpose reads the tile-padded batch-major layout (0.65 GB
+            # for a 160k-cell mesh's 15 MB of data)
+            if transposed_inputs:
+                dpT, drT = sigma_proj_dofs, rhs_dofs
+            elif isinstance(sigma_proj_dofs, np.ndarray):
+                dpT, drT = self.put_transposed(sigma_proj_dofs, rhs_dofs)
+            else:
+                dpT = jnp.moveaxis(jnp.asarray(sigma_proj_dofs, self.dtype), 1, -1)
+                drT = jnp.moveaxis(jnp.asarray(rhs_dofs, self.dtype), 1, -1)
+            if getattr(self, "_jit_eqT", None) is None:
+                self._jit_eqT = jax.jit(
+                    self._equilibrate_impl_T, static_argnames=("weak_symmetry",)
+                )
+            return self._jit_eqT(
+                dpT, drT, jnp.asarray(facet_kind),
+                jnp.asarray(bvals, self.dtype), dev, refd,
+                weak_symmetry=weak_symmetry,
+            )
+        args = (
+            jnp.asarray(sigma_proj_dofs, self.dtype),
+            jnp.asarray(rhs_dofs, self.dtype),
+            jnp.asarray(facet_kind),
+            jnp.asarray(bvals, self.dtype),
+        )
         if not fuse:
             return self._equilibrate_unfused(*args, dev, refd, weak_symmetry)
         if self._jit_eq is None:
@@ -307,6 +447,11 @@ class EqlbEngine:
     def _equilibrate_impl(
         self, d_proj, d_rhs, facet_kind, bvals, dev, refd, weak_symmetry=False
     ):
+        if self.mode == "semiexplicit":
+            return self._equilibrate_impl_T(
+                jnp.moveaxis(d_proj, 1, -1), jnp.moveaxis(d_rhs, 1, -1),
+                facet_kind, bvals, dev, refd, weak_symmetry=weak_symmetry,
+            )
         n_rhs = d_proj.shape[0]
         x = jnp.zeros((n_rhs, self.V.ndofs), self.dtype)
         for key in sorted(self.buckets.keys()):
@@ -323,9 +468,60 @@ class EqlbEngine:
             x = x.at[:, dev[key]["gdofs"]].add(sol)
         return x
 
+    def _equilibrate_impl_T(
+        self, dpT, drT, facet_kind, bvals, dev, refd, weak_symmetry=False
+    ):
+        """Semi-explicit fused program on pre-transposed (batch-last) data:
+        dpT (n_rhs, 2, ndg, nc), drT (n_rhs, ndg, nc)."""
+        from .semiexplicit import solve_bucket_semiexplicit
+        from .stress import weak_symmetry_bucket
+
+        n_rhs = dpT.shape[0]
+        flats = []
+        for key in sorted(self.buckets.keys()):
+            sol_bl = solve_bucket_semiexplicit(
+                self, key, dpT, drT, facet_kind, bvals, dev[key], refd
+            )
+            if weak_symmetry:
+                d_proj2 = jnp.moveaxis(dpT[:2], -1, 1)
+                sol = jnp.moveaxis(sol_bl, -1, 1)  # (n_rhs, P, nflux)
+                delta = weak_symmetry_bucket(
+                    self, key, sol[:2], facet_kind[:2], d_proj2,
+                    dev[key], refd,
+                )
+                sol_bl = sol_bl.at[:2].add(jnp.moveaxis(delta, 1, -1))
+            flats.append(sol_bl.reshape(n_rhs, -1))
+        flat = jnp.concatenate(flats, axis=1)
+        cm = self._combine
+        flat = jnp.pad(flat, ((0, 0), (0, cm["Lpad"] - flat.shape[1])))
+        f2 = flat.reshape(n_rhs, -1, 128)
+
+        from ..ops.lane_select import lane_select_sum
+
+        def pick(rows_flat, lane):
+            # flat-index gather (the TPU backend rejects >2D index arrays),
+            # reshaped to the select kernel's (G, 8, 128, C, 128) layout
+            rg = f2[:, rows_flat].reshape((n_rhs,) + lane.shape + (128,))
+            return jnp.stack(
+                [lane_select_sum(rg[r], lane) for r in range(n_rhs)]
+            ).reshape(n_rhs, -1)
+
+        ndofs = self.V.ndofs
+        x = pick(refd["rows01"], refd["lane01"])[:, :ndofs]
+        tail = pick(refd["rows2"], refd["lane2"])[:, : ndofs - cm["nfk"]]
+        return x.at[:, cm["nfk"] :].add(tail)
+
     # -------------------------------------------------------------------------
 
     def _solve_bucket(self, key, d_proj, d_rhs, facet_kind, bvals, dv, refd):
+        if self.mode == "semiexplicit":
+            from .semiexplicit import solve_bucket_semiexplicit
+
+            sol_bl = solve_bucket_semiexplicit(
+                self, key, jnp.moveaxis(d_proj, 1, -1),
+                jnp.moveaxis(d_rhs, 1, -1), facet_kind, bvals, dv, refd,
+            )
+            return jnp.moveaxis(sol_bl, -1, 1)
         Ar, br, nflux = self._assemble_bucket(
             key, d_proj, d_rhs, facet_kind, bvals, dv, refd
         )
@@ -342,19 +538,26 @@ class EqlbEngine:
             return batched_kkt_solve(A, b)
         return jnp.linalg.solve(A, b)
 
-    def _assemble_bucket(self, key, d_proj, d_rhs, facet_kind, bvals, dv, refd):
+    def _dense_solve_bl(self, A, b):
+        """Batch-last solve: A (D, D, X), b (D, R, X) -> (D, R, X)."""
+        if self.solver == "pallas":
+            from ..ops.patch_solve import batched_kkt_solve_bl
+
+            return batched_kkt_solve_bl(A, b)
+        Ab = jnp.moveaxis(A, -1, 0)
+        bb = jnp.moveaxis(b, -1, 0)
+        return jnp.moveaxis(jnp.linalg.solve(Ab, bb), 0, -1)
+
+    def _element_data(self, key, d_proj, d_rhs, dv, refd):
+        """Canonical per-cell element tensors of one bucket:
+        Mc (P,n,nkeep,nkeep), Bc (P,n,nkeep,ndg), Fv (n_rhs,P,n,nkeep),
+        Fq (n_rhs,P,n,ndg) — shared by the KKT and semi-explicit paths."""
         b = self.buckets[key]
-        t = self.tables[key]
         k = self.k
-        kk1 = self.V.element.ndofs_cell
         ndg = k * (k + 1) // 2
-        n, ns = b.ncells, b.nspokes
+        n = b.ncells
         P = dv["J"].shape[0]  # padded patch count
         n_rhs = d_proj.shape[0]
-
-        D = ns * k + n * kk1 + n * ndg
-        nflux = ns * k + n * kk1
-
         dt = self.dtype
         J, detJ, K = dv["J"], dv["detJ"], dv["K"]
         adet = jnp.abs(detJ)
@@ -401,6 +604,45 @@ class EqlbEngine:
         Fv = jnp.take_along_axis(
             Fv_full, perm[None].repeat(n_rhs, 0), axis=3
         ) * signs[None]
+        return Mc, Bc, Fv, Fq
+
+    def _boundary_ess(self, key, facet_kind, bvals, dv, refd):
+        """Essential-spoke markers and hat-weighted dof values of a boundary
+        bucket: (ess (n_rhs,P,2) bool, hatvals (n_rhs,P,2,k)).  (None, None)
+        for interior buckets."""
+        b = self.buckets[key]
+        if not b.is_boundary:
+            return None, None
+        k = self.k
+        dt = self.dtype
+        bsp = dv["bspokes"]  # (P, 2)
+        kind = facet_kind[:, bsp]  # (n_rhs, P, 2)
+        z_lo = dv["z_is_lo"]  # (P, 2)
+        # hat-weighted dof values on flux-essential spokes:
+        # alpha_j = bvals_j * (2j+1); val_m = alpha_j Wend[end, j, m]
+        scale = jnp.asarray(2.0 * np.arange(k) + 1.0, dt)
+        alpha = bvals[:, bsp] * scale  # (n_rhs, P, 2, k)
+        Wend = refd["Wend"]  # (2, k, k)
+        Wsel = jnp.where(z_lo[..., None, None], Wend[0], Wend[1])
+        hatvals = jnp.einsum("rpej,pejm->rpem", alpha, Wsel)
+        return kind == 2, hatvals
+
+    def _assemble_bucket(self, key, d_proj, d_rhs, facet_kind, bvals, dv, refd):
+        b = self.buckets[key]
+        t = self.tables[key]
+        k = self.k
+        kk1 = self.V.element.ndofs_cell
+        ndg = k * (k + 1) // 2
+        n, ns = b.ncells, b.nspokes
+        P = dv["J"].shape[0]  # padded patch count
+        n_rhs = d_proj.shape[0]
+
+        D = ns * k + n * kk1 + n * ndg
+        nflux = ns * k + n * kk1
+
+        dt = self.dtype
+        adet = jnp.abs(dv["detJ"])
+        Mc, Bc, Fv, Fq = self._element_data(key, d_proj, d_rhs, dv, refd)
 
         # --- assemble the dense patch systems -----------------------------------
         A = jnp.zeros((P, D, D), dt)
@@ -426,17 +668,7 @@ class EqlbEngine:
         mask = jnp.zeros((n_rhs, P, D), dtype=bool)
         values = jnp.zeros((n_rhs, P, D), dt)
         if b.is_boundary:
-            bsp = dv["bspokes"]  # (P, 2)
-            kind = facet_kind[:, bsp]  # (n_rhs, P, 2)
-            z_lo = dv["z_is_lo"]  # (P, 2)
-            # hat-weighted dof values on flux-essential spokes:
-            # alpha_j = bvals_j * (2j+1); val_m = alpha_j Wend[end, j, m]
-            scale = jnp.asarray(2.0 * np.arange(k) + 1.0, dt)
-            alpha = bvals[:, bsp] * scale  # (n_rhs, P, 2, k)
-            Wend = refd["Wend"]  # (2, k, k)
-            Wsel = jnp.where(z_lo[..., None, None], Wend[0], Wend[1])
-            hatvals = jnp.einsum("rpej,pejm->rpem", alpha, Wsel)
-            ess = kind == 2  # (n_rhs, P, 2)
+            ess, hatvals = self._boundary_ess(key, facet_kind, bvals, dv, refd)
             for e, sp in enumerate((0, ns - 1)):
                 cols = sp * k + np.arange(k)
                 mask = mask.at[:, :, cols].set(ess[:, :, e : e + 1])

@@ -1,0 +1,498 @@
+"""Semi-explicit patch equilibration: explicit step + reduced H(div=0) solve.
+
+TPU-native re-design of the reference's SE fast path
+(``se/solve_patch_semiexplt.hpp:211-1163``): instead of solving the full
+per-patch KKT system (flux mass + divergence constraints + multiplier,
+dimension 42-57 at RT2), exploit the *structure of the hierarchic RT
+element* (``elements/rt.py``): its divergence moments against the Dubiner
+DG_{k-1} basis are
+
+    (div phi_i, dub_p)_ref = 0                   except
+    (div phi_{e,0}, dub_0) = S_e (= +-sqrt(2))   facet-constant dofs
+    (div phi_{div,t}, dub_{1+t}) = 1             divergence cell dofs
+
+so the divergence constraints of a patch problem are solved *explicitly*:
+
+  Step 1a: divergence cell dofs   sigma_div[i,t] = sdet_i * Fq[i,1+t]
+  Step 1b: spoke constant moments from the ring recursion
+             b_en_i sigma0(spoke_i) + b_ex_i sigma0(spoke_{i+1}) = Fq[i,0]
+           (the reference's facet-moment recursion).  Its solution is a
+           masked outer product, sigma0_j = cumalpha_j * sum_{i<j} gamma_i
+           Fq0_i (+ pinned start), i.e. one batched cumulative sum — no scan.
+  Step 2:  minimise over the explicit divergence-free basis Z:
+             col 0           = the d0 "ring" mode (weights = cumalpha)
+             per spoke j     = the k-1 hierarchic higher moments (unit cols)
+             per cell i      = the (k-1)(k-2)/2 interior dofs  (unit cols)
+           dim Dz = 1 + ns(k-1) + n(k-1)(k-2)/2 — an SPD system of dimension
+           7 (RT2, 6-cell patch) instead of the 42-dim KKT; A_z = Z^T M Z is
+           geometry-only, so interior patches factorise ONCE for all RHS
+           (reference ``ev/solve_patch.hpp:160-213`` re-assembles only on
+           patch-type change).
+
+TPU layout: everything is **batch-last** — tensors are (small dims..., P)
+with the patch batch on the 128-lane axis.  Batch-major layouts tile-pad the
+tiny trailing element dims 16-85x and made the data-dependent
+``take_along_axis`` dof permutation alone cost 24 ms / 40k patches; the
+permutation is instead folded into SIX statically pre-permuted reference
+tensors blended with a one-hot over the (lnode, walk-orientation) combo —
+measured at the HBM-bandwidth floor.
+
+Everything here is exact linear algebra on the same discrete problem as
+``eqlb.engine._assemble_bucket`` — the two paths agree to round-off, which
+``tests/test_semiexplicit.py`` asserts.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+__all__ = [
+    "se_static",
+    "se_host_tables",
+    "combo_tensors",
+    "solve_bucket_semiexplicit",
+    "reduced_flux_system",
+]
+
+
+@lru_cache(maxsize=None)
+def _div_structure(k: int):
+    """(S (3,), divdiag (ndiv,)): the nonzero divergence moments of the
+    hierarchic RT_k basis (see module docstring; asserted dense in tests)."""
+    from ..elements.lagrange import dubiner_cached
+    from ..elements.quadrature import gauss_triangle
+    from ..elements.rt import rt_cached
+
+    rt = rt_cached(k)
+    dub = dubiner_cached(k - 1)
+    pts, w = gauss_triangle(2 * k + 2)
+    Dhat = np.einsum("x,ix,px->ip", w, rt.tabulate_div(pts), dub.tabulate(pts))
+    S = Dhat[[0, k, 2 * k], 0].copy()
+    ndiv = rt.ndofs_cell_div
+    divdiag = np.array([Dhat[3 * k + t, 1 + t] for t in range(ndiv)])
+    return S, divdiag
+
+
+def _perm_q(q: int, k: int):
+    """Canonical-order dof permutation of combo q = 2*lnode + orient:
+    orient 0 = entry edge is (lnode+1)%3."""
+    ln, o = q // 2, q % 2
+    e1 = (ln + 1) % 3 if o == 0 else (ln + 2) % 3
+    e2 = (ln + 2) % 3 if o == 0 else (ln + 1) % 3
+    return ln, np.concatenate(
+        [e1 * k + np.arange(k), e2 * k + np.arange(k),
+         3 * k + np.arange(k * (k - 1))]
+    )
+
+
+@lru_cache(maxsize=None)
+def combo_tensors(k: int):
+    """Reference tensors pre-permuted for each of the 6 (lnode, orientation)
+    combos — replaces all data-dependent dof-permutation gathers with a
+    one-hot contraction."""
+    from .engine import reference_tensors, _HAT_GRADS
+
+    ref = reference_tensors(k)
+    nkeep = 2 * k + k * (k - 1)
+    ndg = k * (k + 1) // 2
+    MhatC = np.zeros((6, 2, 2, nkeep, nkeep))
+    DhatC = np.zeros((6, nkeep, ndg))
+    RhatC = np.zeros((6, ndg, 2, nkeep))
+    T3C = np.zeros((6, ndg, ndg))
+    hatgC = np.zeros((6, 2))
+    for q in range(6):
+        ln, pq = _perm_q(q, k)
+        MhatC[q] = ref["Mhat"][:, :, pq][:, :, :, pq]
+        DhatC[q] = ref["Dhat"][pq]
+        RhatC[q] = ref["Rhat"][ln][:, :, pq]
+        T3C[q] = ref["T3"][ln]
+        hatgC[q] = _HAT_GRADS[ln]
+    return dict(MhatC=MhatC, DhatC=DhatC, RhatC=RhatC, T3C=T3C, hatgC=hatgC)
+
+
+def se_static(bucket, k: int):
+    """Static (bucket-shape-only) index maps of the reduced basis.
+
+    Column layout of Z: [d0 | spoke 0 moments 1..k-1 | ... | spoke ns-1 |
+    cell 0 interior dofs | ... | cell n-1].
+    """
+    n, ns = bucket.ncells, bucket.nspokes
+    kk1 = k * (k - 1)
+    ndiv = k * (k + 1) // 2 - 1
+    nint = (k - 1) * (k - 2) // 2
+    Dz = 1 + ns * (k - 1) + n * nint
+
+    # canonical slots of cell i that map to unit columns
+    uslots = np.concatenate(
+        [
+            np.arange(1, k),  # entry spoke higher moments
+            k + np.arange(1, k),  # exit spoke higher moments
+            2 * k + ndiv + np.arange(nint),  # interior cell dofs
+        ]
+    ).astype(np.int64)
+
+    exit_idx = np.array(
+        [(i + 1) % ns if not bucket.is_boundary else i + 1 for i in range(n)],
+        dtype=np.int64,
+    )
+    ucols = np.empty((n, len(uslots)), dtype=np.int64)
+    for i in range(n):
+        ucols[i] = np.concatenate(
+            [
+                1 + i * (k - 1) + np.arange(k - 1),
+                1 + exit_idx[i] * (k - 1) + np.arange(k - 1),
+                1 + ns * (k - 1) + i * nint + np.arange(nint),
+            ]
+        )
+
+    # patch-dof position of every unit column (cols 1..Dz-1 in order)
+    sel = np.concatenate(
+        [
+            (np.arange(ns)[:, None] * k + np.arange(1, k)[None, :]).reshape(-1),
+            (
+                ns * k
+                + np.arange(n)[:, None] * kk1
+                + ndiv
+                + np.arange(nint)[None, :]
+            ).reshape(-1),
+        ]
+    ).astype(np.int64)
+    assert len(sel) == Dz - 1
+
+    return dict(
+        Dz=Dz, uslots=uslots, ucols=ucols, sel=sel, exit_idx=exit_idx,
+        ndiv=ndiv, nint=nint,
+    )
+
+
+def se_host_tables(bucket, tables, mesh, k: int):
+    """Geometry-dependent host tables of the explicit step.
+
+    The ring recursion sigma0_{j+1} = alpha_j sigma0_j + beta_j Fq0_j has the
+    closed form (alpha, beta = +-1, +-1/sqrt2 sign products)
+
+        sigma0_j = cumalpha_j * (s0 + sum_{i<j} gamma_i Fq0_i),
+        cumalpha_j = prod_{l<j} alpha_l,   gamma_i = beta_i / cumalpha_{i+1}
+
+    so the device computes it with one cumulative sum.  cumalpha is
+    simultaneously the d0 ring-mode weight vector (the homogeneous solution).
+    """
+    S, divdiag = _div_structure(k)
+    n, ns = bucket.ncells, bucket.nspokes
+    P = len(tables["signs"])
+    sdet = np.sign(mesh.detJ[bucket.cells.astype(np.int64)])  # (P, n)
+    signs = tables["signs"]
+    b_en = sdet * S[bucket.entry_loc.astype(np.int64)] * signs[:, :, 0]
+    b_ex = sdet * S[bucket.exit_loc.astype(np.int64)] * signs[:, :, k]
+    alpha = -b_en / b_ex  # (P, n)
+    beta = 1.0 / b_ex
+
+    cum = np.ones((P, ns))
+    for j in range(1, ns):
+        cum[:, j] = cum[:, j - 1] * alpha[:, j - 1]
+    if not bucket.is_boundary:
+        closure = cum[:, -1] * alpha[:, -1]
+        if not np.allclose(closure, 1.0, atol=1e-12):
+            raise RuntimeError("interior patch d0 ring mode does not close")
+    # gamma_i = beta_i / cumalpha_{i+1}; interior patches have ns == n and
+    # cumalpha_n == closure == 1
+    cum_next = (
+        cum[:, 1:] if bucket.is_boundary
+        else np.concatenate([cum[:, 1:], np.ones((P, 1))], axis=1)
+    )
+    gamma = beta / cum_next[:, :n]
+
+    # combo id of every patch cell: 2*lnode + orientation
+    lnode = bucket.lnode.astype(np.int64)
+    combo = 2 * lnode + (bucket.entry_loc.astype(np.int64) != (lnode + 1) % 3)
+    return dict(
+        cumalpha=cum, gamma=gamma, divdiag=divdiag,
+        combo=combo.astype(np.int8),
+    )
+
+
+# ---------------------------------------------------------------------------
+# device-side solve (batch-last)
+# ---------------------------------------------------------------------------
+
+
+def mass_matrices_bl(engine, key, dv, refd):
+    """Geometry-only canonical element mass matrices, batch-last:
+    Mc (n, nkeep, nkeep, P).  Call-invariant — the engine caches the result
+    (and the reduced matrices A_z) on device at table-build time.
+
+    The one-hot combo contraction is accumulated per combo: a single fused
+    einsum over the q axis materializes a 6x-size broadcast intermediate
+    (measured: 2.6 GB of HBM traffic at 160k cells)."""
+    dt = engine.dtype
+    J = dv["J_bl"]  # (n, 2, 2, P)
+    detJ = dv["detJ_bl"]  # (n, P)
+    signs = dv["signs_bl"]  # (n, nkeep, P)
+    adet = jnp.abs(detJ)
+    Mc = None
+    for q in range(6):
+        wq = (dv["combo_bl"] == q).astype(dt)  # (n, P)
+        JtJw = jnp.einsum("ckax,ckbx,cx->cabx", J, J, wq)
+        term = jnp.einsum("cabx,abij->cijx", JtJw, refd["MhatC"][q])
+        Mc = term if Mc is None else Mc + term
+    Mc = Mc / adet[:, None, None]
+    return Mc * signs[:, :, None] * signs[:, None, :]
+
+
+def load_moments_bl(engine, key, dpT, drT, dv, refd):
+    """Data-dependent canonical load moments, batch-last:
+    Fv (n_rhs, n, nkeep, P), Fq (n_rhs, n, ndg, P).
+
+    Args: dpT (n_rhs, 2, ndg, nc), drT (n_rhs, ndg, nc)."""
+    dt = engine.dtype
+    J = dv["J_bl"]  # (n, 2, 2, P)
+    K = dv["K_bl"]
+    detJ = dv["detJ_bl"]  # (n, P)
+    signs = dv["signs_bl"]  # (n, nkeep, P)
+    adet = jnp.abs(detJ)
+    sdet = jnp.sign(detJ)
+
+    dpg = dpT[..., dv["cells_bl"]]  # (n_rhs, 2, ndg, n, P)
+    frg = drT[..., dv["cells_bl"]]  # (n_rhs, ndg, n, P)
+
+    dpJ = jnp.einsum("ramcx,cabx->rbmcx", dpg, J)
+    Fv = Fq = gpsi = None
+    for q in range(6):
+        wq = (dv["combo_bl"] == q).astype(dt)  # (n, P)
+        tv = jnp.einsum("rbmcx,mbi,cx->rcix", dpJ, refd["RhatC"][q], wq)
+        tq = jnp.einsum("rmcx,mp,cx->rcpx", frg, refd["T3C"][q], wq)
+        tg = jnp.einsum("cbax,b,cx->cax", K, refd["hatgC"][q], wq)
+        Fv = tv if Fv is None else Fv + tv
+        Fq = tq if Fq is None else Fq + tq
+        gpsi = tg if gpsi is None else gpsi + tg
+    Fv = Fv * sdet[:, None] * signs
+    Fq = Fq + jnp.einsum("cax,rapcx->rcpx", gpsi, dpg)
+    Fq = Fq * adet[:, None]
+    return Fv, Fq
+
+
+def element_data_bl(engine, key, dpT, drT, dv, refd):
+    """Batch-last canonical element tensors (Mc from the device cache when
+    present): Mc (n, nkeep, nkeep, P), Fv (n_rhs, n, nkeep, P),
+    Fq (n_rhs, n, ndg, P)."""
+    Mc = dv.get("Mc_bl")
+    if Mc is None:
+        Mc = mass_matrices_bl(engine, key, dv, refd)
+    Fv, Fq = load_moments_bl(engine, key, dpT, drT, dv, refd)
+    return Mc, Fv, Fq
+
+
+def boundary_ess_bl(engine, key, facet_kind, bvals, dv, refd):
+    """(ess (n_rhs, 2, P) bool, hatvals (n_rhs, 2, k, P)) for a boundary
+    bucket: essential markers and hat-weighted dof values of the two
+    boundary spokes."""
+    k = engine.k
+    dt = engine.dtype
+    bsp = dv["bspokes"]  # (P, 2)
+    kind = facet_kind[:, bsp]  # (n_rhs, P, 2)
+    z_lo = dv["z_is_lo"]  # (P, 2)
+    scale = jnp.asarray(2.0 * np.arange(k) + 1.0, dt)
+    alpha = bvals[:, bsp] * scale  # (n_rhs, P, 2, k)
+    Wend = refd["Wend"]  # (2, k, k)
+    Wsel = jnp.where(z_lo[..., None, None], Wend[0], Wend[1])
+    hatvals = jnp.einsum("rpej,pejm->remp", alpha, Wsel)  # (n_rhs,2,k,P)
+    return jnp.moveaxis(kind == 2, 1, -1), hatvals
+
+
+def particular_bl(engine, key, Fq, ess, hatvals, dv):
+    """Explicit step, batch-last: (n_rhs, nflux, P) satisfying the
+    divergence constraints and the essential boundary dofs."""
+    b = engine.buckets[key]
+    st = engine.se_static[key]
+    k = engine.k
+    kk1 = engine.V.element.ndofs_cell
+    n, ns = b.ncells, b.nspokes
+    ndiv = st["ndiv"]
+    dt = engine.dtype
+    P = Fq.shape[-1]
+    n_rhs = Fq.shape[0]
+    nflux = ns * k + n * kk1
+
+    sdet = jnp.sign(dv["detJ_bl"])  # (n, P)
+    sp = jnp.zeros((n_rhs, nflux, P), dt)
+
+    # step 1a: divergence cell dofs
+    if ndiv:
+        vals = Fq[:, :, 1 : 1 + ndiv] * (
+            sdet[:, None] / dv["divdiag"][:, None]
+        )  # (n_rhs, n, ndiv, P)
+        if kk1 > ndiv:
+            vals = jnp.concatenate(
+                [vals, jnp.zeros((n_rhs, n, kk1 - ndiv, P), dt)], axis=2
+            )
+        sp = sp.at[:, ns * k :].set(vals.reshape(n_rhs, n * kk1, P))
+
+    # step 1b: spoke constants via the closed-form recursion
+    Fq0 = Fq[:, :, 0]  # (n_rhs, n, P)
+    incl = jnp.cumsum(dv["gamma_bl"][None] * Fq0, axis=1)  # (n_rhs, n, P)
+    rec = jnp.concatenate(
+        [jnp.zeros((n_rhs, 1, P), dt), incl], axis=1
+    )[:, :ns] * dv["cumalpha_bl"][None]
+    cum = dv["cumalpha_bl"]  # (ns, P)
+    if b.is_boundary:
+        hv0 = hatvals[:, 0, 0]  # (n_rhs, P)
+        hv1 = hatvals[:, 1, 0]
+        ess0, ess1 = ess[:, 0], ess[:, 1]  # (n_rhs, P)
+        s0 = jnp.where(
+            ess0, hv0,
+            jnp.where(ess1, (hv1 - rec[:, -1]) / cum[None, -1], 0.0),
+        )
+        sig0 = rec + cum[None] * s0[:, None]
+        # pure-Neumann patches: both ends pinned; the recursion reproduces
+        # the far pin only up to the data-compatibility residual — enforce
+        # the BC exactly (the residual lands in the last cell's constant
+        # divergence moment, as in the reference's step 1)
+        sig0 = sig0.at[:, -1].set(jnp.where(ess0 & ess1, hv1, sig0[:, -1]))
+    else:
+        sig0 = rec
+    sp = sp.at[:, 0 : ns * k : k].set(sig0)
+
+    # higher essential moments on the two boundary spokes
+    if b.is_boundary and k > 1:
+        for e, spj in ((0, 0), (1, ns - 1)):
+            rows = spj * k + np.arange(1, k)
+            sp = sp.at[:, rows].set(
+                jnp.where(ess[:, e, None], hatvals[:, e, 1:], 0.0)
+            )
+    return sp
+
+
+def reduced_system_bl(engine, key, Mc, dv, resid=None, matrix=True):
+    """A_z = Z^T M Z (Dz, Dz, P) and, given the canonical per-cell load
+    residual ``resid`` (n_rhs, n, nkeep, P), b_z = Z^T resid (Dz, n_rhs, P).
+    ``matrix=False`` skips A_z (engine serves it from the device cache)."""
+    b = engine.buckets[key]
+    st = engine.se_static[key]
+    k = engine.k
+    n = b.ncells
+    P = Mc.shape[-1]
+    dt = engine.dtype
+    Dz = st["Dz"]
+    U = st["uslots"]
+    d0 = dv["cumalpha_bl"]  # (ns, P)
+
+    Az = jnp.zeros((Dz, Dz, P), dt) if matrix else None
+    bz = None if resid is None else jnp.zeros((Dz, resid.shape[0], P), dt)
+    for i in range(n):
+        Mi = Mc[i]  # (nkeep, nkeep, P)
+        wen = d0[i]
+        wex = d0[st["exit_idx"][i]]
+        C_i = st["ucols"][i]
+        if matrix:
+            if len(U):
+                Az = Az.at[C_i[:, None], C_i[None, :]].add(
+                    Mi[U[:, None], U[None, :]]
+                )
+                mU0 = Mi[U, 0] * wen + Mi[U, k] * wex  # (u, P)
+                Az = Az.at[C_i, 0].add(mU0)
+                Az = Az.at[0, C_i].add(mU0)
+            Az = Az.at[0, 0].add(
+                wen**2 * Mi[0, 0] + 2.0 * wen * wex * Mi[0, k]
+                + wex**2 * Mi[k, k]
+            )
+        if resid is not None:
+            ri = resid[:, i]  # (n_rhs, nkeep, P)
+            if len(U):
+                bz = bz.at[C_i].add(jnp.swapaxes(ri[:, U], 0, 1))
+            bz = bz.at[0].add(wen * ri[:, 0] + wex * ri[:, k])
+    return Az, bz
+
+
+def z_mask_bl(engine, key, ess):
+    """(n_rhs, Dz, P) True = column active.  Boundary-spoke columns die when
+    that spoke carries essential data; the d0 ring mode dies when either
+    does (its start value is then pinned by the explicit step)."""
+    b = engine.buckets[key]
+    st = engine.se_static[key]
+    k = engine.k
+    Dz = st["Dz"]
+    n_rhs, _, P = ess.shape
+    free = jnp.ones((n_rhs, Dz, P), dtype=bool)
+    ess0, ess1 = ess[:, 0], ess[:, 1]  # (n_rhs, P)
+    free = free.at[:, 0].set(~(ess0 | ess1))
+    if k > 1:
+        ns = b.nspokes
+        free = free.at[:, 1:k].set(~ess0[:, None])
+        rows = 1 + (ns - 1) * (k - 1) + np.arange(k - 1)
+        free = free.at[:, rows].set(~ess1[:, None])
+    return free
+
+
+def solve_bucket_semiexplicit(
+    engine, key, dpT, drT, facet_kind, bvals, dv, refd
+):
+    """Full reduced solve of one bucket (batch-last inputs
+    dpT (n_rhs, 2, ndg, nc), drT (n_rhs, ndg, nc)) ->
+    (n_rhs, nflux, P) patch dofs, batch-last."""
+    b = engine.buckets[key]
+    st = engine.se_static[key]
+    k = engine.k
+    n, ns = b.ncells, b.nspokes
+    dt = engine.dtype
+    n_rhs = dpT.shape[0]
+
+    Mc, Fv, Fq = element_data_bl(engine, key, dpT, drT, dv, refd)
+    P = Mc.shape[-1]
+    if b.is_boundary:
+        ess, hatvals = boundary_ess_bl(engine, key, facet_kind, bvals, dv, refd)
+    else:
+        ess = hatvals = None
+    sp = particular_bl(engine, key, Fq, ess, hatvals, dv)
+
+    pidx = engine.tables[key]["patch_idx"]  # (n, nkeep) static
+    sp_can = sp[:, pidx]  # (n_rhs, n, nkeep, P)
+    resid = Fv - jnp.einsum("cabx,rcbx->rcax", Mc, sp_can)
+
+    if "Az_bl" in dv:
+        _, bz = reduced_system_bl(engine, key, Mc, dv, resid=resid,
+                                  matrix=False)
+        Az = dv["Az_bl"]
+    else:
+        Az, bz = reduced_system_bl(engine, key, Mc, dv, resid=resid)
+    Dz = st["Dz"]
+
+    if b.is_boundary:
+        free = z_mask_bl(engine, key, ess)  # (n_rhs, Dz, P)
+        freeT = jnp.moveaxis(free, 0, 1)  # (Dz, n_rhs, P)
+        ff = freeT[:, None] & freeT[None, :]  # (Dz, Dz, n_rhs, P)
+        eye = jnp.eye(Dz, dtype=dt)
+        Ar = jnp.where(ff, Az[:, :, None], 0.0) + eye[:, :, None, None] * (
+            ~freeT[None]
+        )
+        br = jnp.where(freeT, bz, 0.0)
+        y = engine._dense_solve_bl(
+            Ar.reshape(Dz, Dz, n_rhs * P), br.reshape(Dz, 1, n_rhs * P)
+        )
+        y = y.reshape(Dz, n_rhs, P)
+    else:
+        # geometry-only matrix: factorise once, solve every RHS
+        y = engine._dense_solve_bl(Az, bz)  # (Dz, n_rhs, P)
+
+    sol = sp
+    if Dz > 1:
+        yu = jnp.moveaxis(y[1:], 1, 0)  # (n_rhs, Dz-1, P)
+        sol = sol.at[:, st["sel"]].add(yu)
+    sol = sol.at[:, 0 : ns * k : k].add(
+        y[0][:, None] * dv["cumalpha_bl"][None]
+    )
+    return sol
+
+
+def reduced_flux_system(engine, key, Mc_bm, dv, resid=None):
+    """Batch-major convenience wrapper for the stress path: Mc_bm
+    (P, n, nkeep, nkeep) -> Az (P, Dz, Dz) [and bz (n_rhs, P, Dz)]."""
+    Mc = jnp.moveaxis(Mc_bm, 0, -1)
+    rs = None if resid is None else jnp.moveaxis(resid, 1, -1)
+    Az, bz = reduced_system_bl(engine, key, Mc, dv, resid=rs)
+    return (
+        jnp.moveaxis(Az, -1, 0),
+        None if bz is None else jnp.einsum("drp->rpd", bz),
+    )

@@ -40,7 +40,144 @@ import jax.numpy as jnp
 __all__ = ["weak_symmetry_bucket"]
 
 
+def _bsym_canonical(engine, key, dv, refd):
+    """Weak-symmetry coupling tensor Bsym[p, c, hat_slot, comp, slot] =
+    int hat (Phi_slot)_comp dx in canonical per-cell order."""
+    dt = engine.dtype
+    J, detJ = dv["J"], dv["detJ"]
+    sdet = jnp.sign(detJ)
+    perm, signs = dv["perm"], dv["signs"]
+    lv = dv["lv_hats"]  # (P, n, 3) local vertex index per hat slot
+    Bsym = None
+    for l in range(3):
+        JR = jnp.einsum("pcab,bi->pcai", J, refd["Rlam"][l])  # (P,n,2,nrt)
+        wl = (lv == l).astype(dt)  # (P, n, 3)
+        term = wl[..., None, None] * JR[:, :, None]  # (P,n,3,2,nrt)
+        Bsym = term if Bsym is None else Bsym + term
+    Bsym = jnp.take_along_axis(Bsym, perm[:, :, None, None, :], axis=4)
+    return Bsym * (sdet[..., None, None, None] * signs[:, :, None, None, :])
+
+
 def weak_symmetry_bucket(engine, key, sol2, facet_kind2, d_proj2, dv, refd):
+    if engine.mode == "semiexplicit":
+        return weak_symmetry_bucket_reduced(
+            engine, key, sol2, facet_kind2, d_proj2, dv, refd
+        )
+    return _weak_symmetry_bucket_kkt(
+        engine, key, sol2, facet_kind2, d_proj2, dv, refd
+    )
+
+
+def weak_symmetry_bucket_reduced(engine, key, sol2, facet_kind2, d_proj2, dv, refd):
+    """Reduced weak-symmetry correction: both stress rows' corrections live
+    in the explicit divergence-free patch basis Z (``eqlb.semiexplicit``), so
+    the per-patch system is
+
+        [ A_z        (B1 Z)^T ] [y'_0]   [ 0 ]
+        [      A_z   (B2 Z)^T ] [y'_1] = [ 0 ]
+        [ B1 Z B2 Z     ch    ] [ mu ]   [ -B1 c0 - B2 c1 ]
+
+    of dimension 2 Dz + (1+ns) + 1 instead of the full KKT's 2F + 2G + C + 3
+    (22 vs 95 at RT2 on a 6-cell patch).  The flux-block load vanishes by
+    optimality of the flux solve over the same (masked) space Z; divergence
+    constraints hold by construction of Z (no DG blocks, no per-row mean
+    multipliers).  Same blocks as the reference's stress minimisation
+    (``se/stressmin_kernel.hpp:118-236``) after static condensation.
+    """
+    from .semiexplicit import reduced_flux_system, z_mask_bl
+
+    b = engine.buckets[key]
+    t = engine.tables[key]
+    st = engine.se_static[key]
+    k = engine.k
+    n, ns = b.ncells, b.nspokes
+    P = dv["J"].shape[0]
+    dt = engine.dtype
+    Dz = st["Dz"]
+    C = t["np1"]
+    D = 2 * Dz + C + 1
+    ilc = 2 * Dz + C
+    kk1 = engine.V.element.ndofs_cell
+    nflux = ns * k + n * kk1
+
+    zeros2 = jnp.zeros_like(d_proj2)
+    Mc, _Bc, _Fv, _Fq = engine._element_data(
+        key, d_proj2, zeros2[..., 0, :], dv, refd
+    )
+    Az, _ = reduced_flux_system(engine, key, Mc, dv)
+    Bsym = _bsym_canonical(engine, key, dv, refd)
+    adet = jnp.abs(dv["detJ"])
+
+    A = jnp.zeros((P, D, D), dt)
+    A = A.at[:, :Dz, :Dz].set(Az)
+    A = A.at[:, Dz : 2 * Dz, Dz : 2 * Dz].set(Az)
+    rhs = jnp.zeros((P, D), dt)
+
+    pidx = t["patch_idx"]
+    p1idx = t["p1_idx"]
+    U = st["uslots"]
+    d0 = dv["cumalpha_bl"].T  # (P, ns)
+    for i in range(n):
+        B1 = Bsym[:, i, :, 1, :]  # (P, 3, nkeep)
+        B2 = -Bsym[:, i, :, 0, :]
+        wen = d0[:, i]
+        wex = d0[:, st["exit_idx"][i]]
+        rows = 2 * Dz + p1idx[i]  # (3,) static
+        for comp, Bi in ((0, B1), (1, B2)):
+            off = comp * Dz
+            # d0 column
+            bi0 = Bi[:, :, 0] * wen[:, None] + Bi[:, :, k] * wex[:, None]
+            A = A.at[:, rows, off].add(bi0)
+            A = A.at[:, off, rows].add(bi0)
+            if len(U):
+                cols = off + st["ucols"][i]
+                A = A.at[:, rows[:, None], cols[None, :]].add(Bi[:, :, U])
+                A = A.at[:, cols[:, None], rows[None, :]].add(
+                    jnp.swapaxes(Bi[:, :, U], 1, 2)
+                )
+        # multiplier column int hat_h = |detJ|/6 per touched node
+        hi = jnp.repeat(adet[:, i, None] / 6.0, 3, axis=1)
+        A = A.at[:, rows, ilc].add(hi)
+        A = A.at[:, ilc, rows].add(hi)
+        # constraint data from the equilibrated stress rows
+        c0 = sol2[0][:, pidx[i]]
+        c1 = sol2[1][:, pidx[i]]
+        rhs = rhs.at[:, rows].add(
+            -jnp.einsum("phi,pi->ph", B1, c0)
+            - jnp.einsum("phi,pi->ph", B2, c1)
+        )
+
+    # --- essential masking + multiplier activation ---------------------------
+    free = jnp.ones((P, D), dtype=bool)
+    if b.is_boundary:
+        bsp = dv["bspokes"]
+        ess = facet_kind2[:, bsp] == 2  # (2, P, 2)
+        fr_bl = z_mask_bl(engine, key, jnp.moveaxis(ess, 1, -1))  # (2,Dz,P)
+        for row in (0, 1):
+            free = free.at[:, row * Dz : (row + 1) * Dz].set(fr_bl[row].T)
+        lam_on = ess.all(axis=(0, 2))  # (P,)
+    else:
+        lam_on = jnp.ones((P,), dtype=bool)
+    free = free.at[:, ilc].set(lam_on)
+
+    ff = free[:, :, None] & free[:, None, :]
+    eye = jnp.eye(D, dtype=dt)
+    Ar = jnp.where(ff, A, 0.0) + eye * (~free)[..., None]
+    br = jnp.where(free, rhs, 0.0)
+    y = engine._dense_solve(Ar, br[..., None])[..., 0]  # (P, D)
+
+    delta = jnp.zeros((2, P, nflux), dt)
+    for row in (0, 1):
+        yr = y[:, row * Dz : (row + 1) * Dz]
+        if Dz > 1:
+            delta = delta.at[row, :, st["sel"]].add(yr[:, 1:].T)
+        delta = delta.at[row, :, 0 : ns * k : k].add(
+            yr[:, 0:1] * d0
+        )
+    return delta
+
+
+def _weak_symmetry_bucket_kkt(engine, key, sol2, facet_kind2, d_proj2, dv, refd):
     """Corrections for the two stress rows of one bucket.
 
     The objective minimises the *corrector* norm || (sigma_z - psi sigma_proj)

@@ -1,0 +1,71 @@
+"""Pallas TPU kernel: per-row lane extraction (gather epilogue).
+
+The semi-explicit engine's global accumulation gathers 128-lane rows of the
+flat bucket solutions (full HBM bandwidth) and then needs ONE lane of each
+row: ``out[i] = sum_c rows[i, c, lane[i, c]]``.  XLA's algebraic simplifier
+rewrites the one-hot formulation ``sum(rows * onehot(lane))`` into a per-row
+dynamic lane extract that runs ~50 GB/s (measured 16.5 ms for 830 MB at
+160k cells).  This kernel keeps the one-hot multiply-reduce vectorized in
+VMEM — a straight bandwidth-bound pass.
+
+Layout: the row batch is pre-shaped (G, 8, 128) so each grid step consumes
+(8, 128, C, 128) rows and emits one native (8, 128) output tile — no
+in-kernel reshapes (the remote Mosaic compiler aborts on sublane/lane
+reshapes of reduced values).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["lane_select_sum"]
+
+
+def _kernel(C, rows_ref, lane_ref, out_ref):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    acc = None
+    # per-contributor unroll, slicing at the ref level: Mosaic supports only
+    # single trailing-axis reductions, and value-level integer indexing of a
+    # non-minor axis lowers to an unsupported gather
+    for c in range(C):
+        rows_c = rows_ref[0, :, :, c, :]  # (8, 128, 128)
+        lane_c = lane_ref[0, :, :, c]  # (8, 128)
+        m = (lane_c[:, :, None] == iota).astype(rows_c.dtype)
+        t = jnp.sum(rows_c * m, axis=-1)  # (8, 128)
+        acc = t if acc is None else acc + t
+    out_ref[0] = acc
+
+
+@partial(jax.jit, static_argnames=())
+def _run(rows, lane):
+    G, _, _, C, _ = rows.shape
+    return pl.pallas_call(
+        partial(_kernel, C),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128, C, 128), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128, C), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, 8, 128), rows.dtype),
+        interpret=(jax.default_backend() != "tpu"),
+    )(rows, lane)
+
+
+def lane_select_sum(rows, lane):
+    """out[g, s, l] = sum_c rows[g, s, l, c, lane[g, s, l, c]].
+
+    rows (G, 8, 128, C, 128); lane (G, 8, 128, C) int32 in [0, 128).
+    Returns (G, 8, 128)."""
+    if jax.config.jax_enable_x64 and rows.dtype != jnp.float64:
+        with jax.enable_x64(False):
+            return _run(rows, lane)
+    return _run(rows, lane)

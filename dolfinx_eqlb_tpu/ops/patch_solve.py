@@ -36,7 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["batched_kkt_solve"]
+__all__ = ["batched_kkt_solve", "batched_kkt_solve_bl"]
 
 
 def _kernel(D: int, R: int, K: int, A_ref, b_ref, x_ref, As, bs):
@@ -125,6 +125,42 @@ def _solve_padded(A, b, tile, K):
         ],
         interpret=(jax.default_backend() != "tpu"),
     )(A, b)
+
+
+def batched_kkt_solve_bl(A, b, tile: int | None = None):
+    """Batch-last entry: A (D, D, X), b (D, R, X) -> x (D, R, X).
+
+    The native layout of the kernel — no moveaxis relayouts (a transpose of
+    (X, D, D) tiny-trailing-dim tensors costs more than the solve itself on
+    TPU).  D is padded to the unroll factor with identity rows, X to the
+    VMEM tile with identity systems."""
+    D = A.shape[0]
+    R = b.shape[1]
+    X = A.shape[-1]
+    K = 8
+    Dp = -(-D // K) * K
+    if Dp != D:
+        A = jnp.pad(A, ((0, Dp - D), (0, Dp - D), (0, 0)))
+        A = A + jnp.pad(
+            jnp.eye(Dp, dtype=A.dtype)[:, D:], ((0, 0), (D, 0))
+        )[:, :, None]
+        b = jnp.pad(b, ((0, Dp - D), (0, 0), (0, 0)))
+    if tile is None:
+        tile = max(128, min(1024, int(3.0 * 2**20 / (Dp * Dp * 4))))
+        tile -= tile % 128
+    pad = (-X) % tile
+    if pad:
+        A = jnp.concatenate(
+            [A, jnp.broadcast_to(jnp.eye(Dp, dtype=A.dtype)[:, :, None],
+                                 (Dp, Dp, pad))], axis=-1
+        )
+        b = jnp.pad(b, ((0, 0), (0, 0), (0, pad)))
+    if jax.config.jax_enable_x64 and A.dtype != jnp.float64:
+        with jax.enable_x64(False):
+            x = _solve_padded(A, b, tile, K)
+    else:
+        x = _solve_padded(A, b, tile, K)
+    return x[:D, :, :X]
 
 
 def batched_kkt_solve(A, b, tile: int | None = None):

@@ -39,11 +39,24 @@ class ShardedEqlbEngine:
                     "construct the engine with pad_to_multiple=n_devices"
                 )
         dev, refd = engine._device_tables()
-        shard = NamedSharding(mesh, P(axis))
         repl = NamedSharding(mesh, P())
-        self.dev = jax.tree.map(
-            lambda a: jax.device_put(a, shard), dev
-        )
+        self.dev = {}
+        for key, d in dev.items():
+            npad = engine.tables[key]["J"].shape[0]
+            out = {}
+            for name, a in d.items():
+                # shard along the patch axis wherever it sits: leading for
+                # the batch-major tables, trailing for the batch-last ones
+                # (gflat is nflux-major, so contiguous chunks are full
+                # patch-ranges of one dof slot — still patch-parallel)
+                if name.endswith("_bl") or name == "gflat":
+                    spec = P(*([None] * (a.ndim - 1) + [axis]))
+                elif a.ndim >= 1 and a.shape[0] == npad:
+                    spec = P(axis)
+                else:
+                    spec = P()
+                out[name] = jax.device_put(a, NamedSharding(mesh, spec))
+            self.dev[key] = out
         self.refd = jax.tree.map(lambda a: jax.device_put(a, repl), refd)
         self._jit = jax.jit(
             engine._equilibrate_impl,
