@@ -46,8 +46,9 @@ def main(n=500, k=2, repeats=5, n_fields=1):
 
     V = FunctionSpace(msh, "RT", k)
     t0 = time.perf_counter()
-    # chunk big buckets: bounds the padded batched-LU temp (a 249k x 57 x 57
-    # f32 LU alone pads to 7.6 GB of HBM)
+    # moderate chunking balances op-count against peak HBM (the fully
+    # unchunked 1M-cell program peaks >19 GB through the combine gather's
+    # live intermediates)
     engine = EqlbEngine(V, buckets, dtype=jnp.float32,
                         max_patches_per_bucket=65536)
     # on-chip pivot-free factorization (ops.patch_solve): XLA's batched LU

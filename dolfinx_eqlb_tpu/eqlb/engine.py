@@ -241,9 +241,10 @@ class EqlbEngine:
             M, C = s.shape
             pad = (-M) % 1024
             s = np.pad(s, ((0, pad), (0, 0)))  # pads read row 0, sliced away
+            lane = (s % 128).astype(np.int32).reshape(-1, 8, 128, C)
             return (
                 (s // 128).astype(np.int32).reshape(-1),  # pre-flattened
-                (s % 128).astype(np.int32).reshape(-1, 8, 128, C),
+                np.ascontiguousarray(np.moveaxis(lane, 3, 1)),  # (G,C,8,128)
             )
 
         rows01, lane01 = shaped(src[:, :2])
@@ -309,21 +310,37 @@ class EqlbEngine:
             refd[name] = jnp.asarray(arr, dt)
 
         # geometry caches: element mass matrices and reduced H(div=0)
-        # matrices are call-invariant — build them once per bucket shape
+        # matrices are call-invariant — build them once per bucket shape.
+        # Interior buckets additionally cache the explicit INVERSE (small,
+        # well-conditioned SPD), turning the per-call batched solve into one
+        # einsum; boundary buckets keep A_z (per-RHS essential masks modify
+        # the system before solving).
         geom_jit = {}
         for key in sorted(self.tables.keys()):
             b = self.buckets[key]
             sig = (b.ncells, b.is_boundary, dev[key]["J_bl"].shape[-1])
             if sig not in geom_jit:
-                def build(dvk, rf, _key=key):
+                def build(dvk, rf, _key=key, _inv=not b.is_boundary):
                     Mc = mass_matrices_bl(self, _key, dvk, rf)
                     Az, _ = reduced_system_bl(self, _key, Mc, dvk)
+                    if _inv:
+                        Dz = Az.shape[0]
+                        eye = jnp.broadcast_to(
+                            jnp.eye(Dz, dtype=self.dtype)[..., None], Az.shape
+                        )
+                        # batch-last solve (no moveaxis relayouts)
+                        Ainv = self._dense_solve_bl(Az, eye)
+                        return Mc, Az, Ainv
                     return Mc, Az
 
                 geom_jit[sig] = jax.jit(build)
-            Mc, Az = geom_jit[sig](dev[key], refd)
-            dev[key]["Mc_bl"] = Mc
-            dev[key]["Az_bl"] = Az
+            out = geom_jit[sig](dev[key], refd)
+            dev[key]["Mc_bl"] = out[0]
+            dev[key]["Az_bl"] = out[1]
+            import os
+
+            if len(out) == 3 and "EQLB_DISABLE_AINV" not in os.environ:
+                dev[key]["Ainv_bl"] = out[2]
         self._dev, self._ref_dev = dev, refd
         return dev, refd
 
@@ -477,11 +494,17 @@ class EqlbEngine:
         from .stress import weak_symmetry_bucket
 
         n_rhs = dpT.shape[0]
+        dprT = jnp.concatenate([dpT, drT[:, None]], axis=1)
         flats = []
         for key in sorted(self.buckets.keys()):
             sol_bl = solve_bucket_semiexplicit(
-                self, key, dpT, drT, facet_kind, bvals, dev[key], refd
+                self, key, dprT, facet_kind, bvals, dev[key], refd
             )
+            # fusion fence: under whole-program fusion pressure this backend
+            # miscompiles one lane tile of the bucket pipeline to NaN (the
+            # isolated bucket program is bit-clean) — keep bucket pipelines
+            # from fusing into each other / the combine
+            sol_bl = jax.lax.optimization_barrier(sol_bl)
             if weak_symmetry:
                 d_proj2 = jnp.moveaxis(dpT[:2], -1, 1)
                 sol = jnp.moveaxis(sol_bl, -1, 1)  # (n_rhs, P, nflux)
@@ -501,7 +524,8 @@ class EqlbEngine:
         def pick(rows_flat, lane):
             # flat-index gather (the TPU backend rejects >2D index arrays),
             # reshaped to the select kernel's (G, 8, 128, C, 128) layout
-            rg = f2[:, rows_flat].reshape((n_rhs,) + lane.shape + (128,))
+            G, C = lane.shape[0], lane.shape[1]
+            rg = f2[:, rows_flat].reshape(n_rhs, G, 8, 128, C, 128)
             return jnp.stack(
                 [lane_select_sum(rg[r], lane) for r in range(n_rhs)]
             ).reshape(n_rhs, -1)
@@ -517,9 +541,11 @@ class EqlbEngine:
         if self.mode == "semiexplicit":
             from .semiexplicit import solve_bucket_semiexplicit
 
+            dpT = jnp.moveaxis(d_proj, 1, -1)
+            drT = jnp.moveaxis(d_rhs, 1, -1)
             sol_bl = solve_bucket_semiexplicit(
-                self, key, jnp.moveaxis(d_proj, 1, -1),
-                jnp.moveaxis(d_rhs, 1, -1), facet_kind, bvals, dv, refd,
+                self, key, jnp.concatenate([dpT, drT[:, None]], axis=1),
+                facet_kind, bvals, dv, refd,
             )
             return jnp.moveaxis(sol_bl, -1, 1)
         Ar, br, nflux = self._assemble_bucket(

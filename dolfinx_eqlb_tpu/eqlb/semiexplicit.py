@@ -236,17 +236,24 @@ def mass_matrices_bl(engine, key, dv, refd):
     for q in range(6):
         wq = (dv["combo_bl"] == q).astype(dt)  # (n, P)
         JtJw = jnp.einsum("ckax,ckbx,cx->cabx", J, J, wq)
-        term = jnp.einsum("cabx,abij->cijx", JtJw, refd["MhatC"][q])
-        Mc = term if Mc is None else Mc + term
+        Mq = refd["MhatC"][q]
+        # explicit (a, b) broadcast sum instead of a dot_general: XLA lays
+        # the dot output out with the tiny (i, j) dims minor, which
+        # tile-pads 28x (4 GB per term at 131k patches -> OOM)
+        for a in range(2):
+            for b in range(2):
+                t = JtJw[:, a, b, None, None, :] * Mq[a, b][None, :, :, None]
+                Mc = t if Mc is None else Mc + t
     Mc = Mc / adet[:, None, None]
     return Mc * signs[:, :, None] * signs[:, None, :]
 
 
-def load_moments_bl(engine, key, dpT, drT, dv, refd):
+def load_moments_bl(engine, key, dprT, dv, refd):
     """Data-dependent canonical load moments, batch-last:
     Fv (n_rhs, n, nkeep, P), Fq (n_rhs, n, ndg, P).
 
-    Args: dpT (n_rhs, 2, ndg, nc), drT (n_rhs, ndg, nc)."""
+    Args: dprT (n_rhs, 3, ndg, nc) — packed [sigma_proj rows 0/1 | rhs] so
+    one gather per bucket fetches all per-cell data."""
     dt = engine.dtype
     J = dv["J_bl"]  # (n, 2, 2, P)
     K = dv["K_bl"]
@@ -255,8 +262,16 @@ def load_moments_bl(engine, key, dpT, drT, dv, refd):
     adet = jnp.abs(detJ)
     sdet = jnp.sign(detJ)
 
-    dpg = dpT[..., dv["cells_bl"]]  # (n_rhs, 2, ndg, n, P)
-    frg = drT[..., dv["cells_bl"]]  # (n_rhs, ndg, n, P)
+    # 2D-source lane gather: a >=3D source makes XLA materialize the output
+    # with the patch-cell axis minor and the tiny data dims tile-padded
+    # 28x (OOM at 1M cells); the flattened (r*3*ndg, nc) form pads only
+    # 9 -> 16 sublanes and is ~1.5x faster
+    n_rhs, _, ndg, nc = dprT.shape
+    cb = dv["cells_bl"]  # (n, P)
+    g = dprT.reshape(n_rhs * 3 * ndg, nc)[:, cb.reshape(-1)]
+    g = g.reshape(n_rhs, 3, ndg, cb.shape[0], cb.shape[1])
+    dpg = g[:, :2]  # (n_rhs, 2, ndg, n, P)
+    frg = g[:, 2]  # (n_rhs, ndg, n, P)
 
     dpJ = jnp.einsum("ramcx,cabx->rbmcx", dpg, J)
     Fv = Fq = gpsi = None
@@ -274,14 +289,14 @@ def load_moments_bl(engine, key, dpT, drT, dv, refd):
     return Fv, Fq
 
 
-def element_data_bl(engine, key, dpT, drT, dv, refd):
+def element_data_bl(engine, key, dprT, dv, refd):
     """Batch-last canonical element tensors (Mc from the device cache when
     present): Mc (n, nkeep, nkeep, P), Fv (n_rhs, n, nkeep, P),
     Fq (n_rhs, n, ndg, P)."""
     Mc = dv.get("Mc_bl")
     if Mc is None:
         Mc = mass_matrices_bl(engine, key, dv, refd)
-    Fv, Fq = load_moments_bl(engine, key, dpT, drT, dv, refd)
+    Fv, Fq = load_moments_bl(engine, key, dprT, dv, refd)
     return Mc, Fv, Fq
 
 
@@ -427,19 +442,19 @@ def z_mask_bl(engine, key, ess):
 
 
 def solve_bucket_semiexplicit(
-    engine, key, dpT, drT, facet_kind, bvals, dv, refd
+    engine, key, dprT, facet_kind, bvals, dv, refd
 ):
-    """Full reduced solve of one bucket (batch-last inputs
-    dpT (n_rhs, 2, ndg, nc), drT (n_rhs, ndg, nc)) ->
+    """Full reduced solve of one bucket (batch-last packed input
+    dprT (n_rhs, 3, ndg, nc) = [sigma_proj | rhs]) ->
     (n_rhs, nflux, P) patch dofs, batch-last."""
     b = engine.buckets[key]
     st = engine.se_static[key]
     k = engine.k
     n, ns = b.ncells, b.nspokes
     dt = engine.dtype
-    n_rhs = dpT.shape[0]
+    n_rhs = dprT.shape[0]
 
-    Mc, Fv, Fq = element_data_bl(engine, key, dpT, drT, dv, refd)
+    Mc, Fv, Fq = element_data_bl(engine, key, dprT, dv, refd)
     P = Mc.shape[-1]
     if b.is_boundary:
         ess, hatvals = boundary_ess_bl(engine, key, facet_kind, bvals, dv, refd)
@@ -472,6 +487,16 @@ def solve_bucket_semiexplicit(
             Ar.reshape(Dz, Dz, n_rhs * P), br.reshape(Dz, 1, n_rhs * P)
         )
         y = y.reshape(Dz, n_rhs, P)
+    elif "Ainv_bl" in dv:
+        # geometry-only system with a cached explicit inverse.  Explicit
+        # j-sum instead of an einsum/dot: the fused dot lowering reads the
+        # sublane tile padding of the small (Dz, Dz, X) operands on this
+        # backend, poisoning the last lane tile with NaN at large X
+        Ainv = dv["Ainv_bl"]
+        y = None
+        for j in range(Dz):
+            t = Ainv[:, j, None, :] * bz[j][None, :, :]  # (Dz, n_rhs, P)
+            y = t if y is None else y + t
     else:
         # geometry-only matrix: factorise once, solve every RHS
         y = engine._dense_solve_bl(Az, bz)  # (Dz, n_rhs, P)

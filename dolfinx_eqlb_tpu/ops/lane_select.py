@@ -34,7 +34,7 @@ def _kernel(C, rows_ref, lane_ref, out_ref):
     # non-minor axis lowers to an unsupported gather
     for c in range(C):
         rows_c = rows_ref[0, :, :, c, :]  # (8, 128, 128)
-        lane_c = lane_ref[0, :, :, c]  # (8, 128)
+        lane_c = lane_ref[0, c]  # (8, 128)
         m = (lane_c[:, :, None] == iota).astype(rows_c.dtype)
         t = jnp.sum(rows_c * m, axis=-1)  # (8, 128)
         acc = t if acc is None else acc + t
@@ -50,7 +50,7 @@ def _run(rows, lane):
         in_specs=[
             pl.BlockSpec((1, 8, 128, C, 128), lambda i: (i, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128, C), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, C, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
@@ -61,9 +61,11 @@ def _run(rows, lane):
 
 
 def lane_select_sum(rows, lane):
-    """out[g, s, l] = sum_c rows[g, s, l, c, lane[g, s, l, c]].
+    """out[g, s, l] = sum_c rows[g, s, l, c, lane[g, c, s, l]].
 
-    rows (G, 8, 128, C, 128); lane (G, 8, 128, C) int32 in [0, 128).
+    rows (G, 8, 128, C, 128); lane (G, C, 8, 128) int32 in [0, 128) —
+    lane's C axis sits second so its minor dims land on a native (8, 128)
+    tile (the (G, 8, 128, C) form forces a relayout copy every call).
     Returns (G, 8, 128)."""
     if jax.config.jax_enable_x64 and rows.dtype != jnp.float64:
         with jax.enable_x64(False):
