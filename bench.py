@@ -24,11 +24,13 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main(n=500, k=2, repeats=5, n_fields=1):
+def main(n=500, k=2, repeats=5, n_fields=1, stress=False):
     """``n_fields > 1`` benchmarks the multi-field (poro-elasticity-style)
     configuration of BASELINE.json: several RHS equilibrated simultaneously
     through the shared patch factorizations (reference perftest_basics.py
-    Biot test cases)."""
+    Biot test cases).  ``stress`` runs the weakly-symmetric stress
+    configuration (BASELINE config 3: two stress rows + the patch-wise
+    weak-symmetry correction)."""
     from dolfinx_eqlb_tpu.mesh import unit_square
     from dolfinx_eqlb_tpu.fem import FunctionSpace
     from dolfinx_eqlb_tpu.eqlb.patches import build_patches
@@ -59,7 +61,7 @@ def main(n=500, k=2, repeats=5, n_fields=1):
     ndg = k * (k + 1) // 2
     rng = np.random.default_rng(0)
     nc = msh.num_cells
-    nf = n_fields
+    nf = max(n_fields, 2) if stress else n_fields
     d_proj = rng.normal(size=(nf, nc, 2, ndg)).astype(np.float32)
     d_rhs = rng.normal(size=(nf, nc, ndg)).astype(np.float32)
     facet_kind = (
@@ -76,7 +78,8 @@ def main(n=500, k=2, repeats=5, n_fields=1):
     # NOTE: block_until_ready is unreliable on the axon relay backend —
     # a small device-to-host readback is the only true synchronisation
     t0 = time.perf_counter()
-    x = engine.equilibrate(dpT, drT, fk, bv, transposed_inputs=True)
+    x = engine.equilibrate(dpT, drT, fk, bv, transposed_inputs=True,
+                           weak_symmetry=stress)
     _ = np.asarray(x[0, :4])
     log(f"first call (compile + transfer): {time.perf_counter()-t0:.1f}s")
     assert not bool(jnp.isnan(x[:, ::1000]).any()), "NaN in equilibrated flux"
@@ -84,7 +87,8 @@ def main(n=500, k=2, repeats=5, n_fields=1):
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        x = engine.equilibrate(dpT, drT, fk, bv, transposed_inputs=True)
+        x = engine.equilibrate(dpT, drT, fk, bv, transposed_inputs=True,
+                               weak_symmetry=stress)
         _ = np.asarray(x[0, :4])  # true sync
         times.append(time.perf_counter() - t0)
     dt = min(times)
@@ -92,6 +96,8 @@ def main(n=500, k=2, repeats=5, n_fields=1):
         f"({npatches/dt/1e6:.2f} M patches/s)")
 
     field_tag = f", {n_fields} fields" if n_fields > 1 else ""
+    if stress:
+        field_tag = ", weakly-symmetric stress"
     print(json.dumps({
         "metric": f"RT{k} flux equilibration throughput, "
                   f"{msh.num_cells}-cell mesh, single chip, f32{field_tag}",
@@ -102,6 +108,8 @@ def main(n=500, k=2, repeats=5, n_fields=1):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
-    n_fields = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    main(n=n, n_fields=n_fields)
+    args = [a for a in sys.argv[1:] if a != "--stress"]
+    stress = "--stress" in sys.argv[1:]
+    n = int(args[0]) if len(args) > 0 else 500
+    n_fields = int(args[1]) if len(args) > 1 else 1
+    main(n=n, n_fields=n_fields, stress=stress)

@@ -300,14 +300,37 @@ class EqlbEngine:
             name: jnp.asarray(arr, dt) for name, arr in self.ref.items()
         }
         refd["hat_grads"] = jnp.asarray(_HAT_GRADS, dt)
-        for name in ("rows01", "lane01", "rows2", "lane2"):
-            refd[name] = jnp.asarray(self._combine[name], jnp.int32)
+        # combine index tables, in two granularities: one whole-table
+        # segment (fastest gather form, ~5 GB of gathered rows per field at
+        # 1M cells) and <=1536-group cuts (bounds the live intermediate for
+        # multi-field runs).  pick() chooses by n_rhs at trace time.
+        for nm in ("01", "2"):
+            rows = self._combine["rows" + nm]
+            lane = self._combine["lane" + nm]
+            G, C = lane.shape[0], lane.shape[1]
+            whole = (jnp.asarray(rows, jnp.int32), jnp.asarray(lane, jnp.int32))
+            refd["seg" + nm + "w"] = (whole,)
+            gseg = 1536
+            if G <= gseg:
+                refd["seg" + nm] = (whole,)
+                continue
+            segl = []
+            for g0 in range(0, G, gseg):
+                g1 = min(g0 + gseg, G)
+                segl.append((
+                    jnp.asarray(rows[g0 * 1024 * C : g1 * 1024 * C], jnp.int32),
+                    jnp.asarray(lane[g0:g1], jnp.int32),
+                ))
+            refd["seg" + nm] = tuple(segl)
         from .semiexplicit import (
             combo_tensors, mass_matrices_bl, reduced_system_bl,
         )
 
         for name, arr in combo_tensors(self.k).items():
             refd[name] = jnp.asarray(arr, dt)
+        from .stress import bsym_combo_tensors
+
+        refd["BsymC"] = jnp.asarray(bsym_combo_tensors(self.k), dt)
 
         # geometry caches: element mass matrices and reduced H(div=0)
         # matrices are call-invariant — build them once per bucket shape.
@@ -343,6 +366,28 @@ class EqlbEngine:
                 dev[key]["Ainv_bl"] = out[2]
         self._dev, self._ref_dev = dev, refd
         return dev, refd
+
+    def ensure_stress_caches(self):
+        """Build the geometry-only weak-symmetry caches (stress KKT matrix
+        per bucket + constraint-column inverse blocks on interior buckets).
+        Lazy: only stress workloads pay for them."""
+        dev, refd = self._device_tables()
+        if any("Bsym_bl" in d for d in dev.values()):
+            return
+        from .stress import build_stress_cache
+
+        cache_jit = {}
+        for key in sorted(self.tables.keys()):
+            b = self.buckets[key]
+            sig = (b.ncells, b.is_boundary, dev[key]["J_bl"].shape[-1])
+            if sig not in cache_jit:
+                cache_jit[sig] = jax.jit(
+                    lambda dvk, rf, _key=key: build_stress_cache(
+                        self, _key, dvk, rf
+                    )
+                )
+            dev[key].update(cache_jit[sig](dev[key], refd))
+        self._jit_eqT = None  # dev pytree changed: retrace
 
     # -------------------------------------------------------------------------
 
@@ -393,6 +438,8 @@ class EqlbEngine:
                 or npatches <= 150_000
             )
         if fuse and self.mode == "semiexplicit":
+            if weak_symmetry:
+                self.ensure_stress_caches()
             # transpose to batch-last on the host when possible: a device
             # transpose reads the tile-padded batch-major layout (0.65 GB
             # for a 160k-cell mesh's 15 MB of data)
@@ -506,13 +553,22 @@ class EqlbEngine:
             # from fusing into each other / the combine
             sol_bl = jax.lax.optimization_barrier(sol_bl)
             if weak_symmetry:
-                d_proj2 = jnp.moveaxis(dpT[:2], -1, 1)
-                sol = jnp.moveaxis(sol_bl, -1, 1)  # (n_rhs, P, nflux)
-                delta = weak_symmetry_bucket(
-                    self, key, sol[:2], facet_kind[:2], d_proj2,
-                    dev[key], refd,
-                )
-                sol_bl = sol_bl.at[:2].add(jnp.moveaxis(delta, 1, -1))
+                if "Bsym_bl" in dev[key]:
+                    from .stress import weak_symmetry_bucket_bl
+
+                    delta = weak_symmetry_bucket_bl(
+                        self, key, sol_bl[:2], facet_kind[:2], dev[key], refd
+                    )
+                    delta = jax.lax.optimization_barrier(delta)
+                    sol_bl = sol_bl.at[:2].add(delta)
+                else:
+                    d_proj2 = jnp.moveaxis(dpT[:2], -1, 1)
+                    sol = jnp.moveaxis(sol_bl, -1, 1)  # (n_rhs, P, nflux)
+                    delta = weak_symmetry_bucket(
+                        self, key, sol[:2], facet_kind[:2], d_proj2,
+                        dev[key], refd,
+                    )
+                    sol_bl = sol_bl.at[:2].add(jnp.moveaxis(delta, 1, -1))
             flats.append(sol_bl.reshape(n_rhs, -1))
         flat = jnp.concatenate(flats, axis=1)
         cm = self._combine
@@ -521,18 +577,36 @@ class EqlbEngine:
 
         from ..ops.lane_select import lane_select_sum
 
-        def pick(rows_flat, lane):
+        def pick(seglist):
             # flat-index gather (the TPU backend rejects >2D index arrays),
-            # reshaped to the select kernel's (G, 8, 128, C, 128) layout
+            # reshaped to the select kernel's (G, 8, 128, C, 128) layout.
+            # The index tables are pre-cut into host-side segments so the
+            # gathered-row intermediate stays bounded (one unsegmented
+            # gather holds n_rhs * 5 GB at 1M cells and OOMs); each segment
+            # keeps the exact op shape class verified NaN-clean
+            segs = []
+            for rows_flat, lane in seglist:
+                G, C = lane.shape[0], lane.shape[1]
+                rg = f2[:, rows_flat].reshape(n_rhs, G, 8, 128, C, 128)
+                segs.append(
+                    jnp.stack(
+                        [lane_select_sum(rg[r], lane) for r in range(n_rhs)]
+                    )
+                )
+            out = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
+            return out.reshape(n_rhs, -1)
+
+        def choose(nm):
+            whole = refd["seg" + nm + "w"]
+            rows, lane = whole[0]
             G, C = lane.shape[0], lane.shape[1]
-            rg = f2[:, rows_flat].reshape(n_rhs, G, 8, 128, C, 128)
-            return jnp.stack(
-                [lane_select_sum(rg[r], lane) for r in range(n_rhs)]
-            ).reshape(n_rhs, -1)
+            if n_rhs * G * 1024 * C * 512 <= (6 << 30):
+                return whole
+            return refd["seg" + nm]
 
         ndofs = self.V.ndofs
-        x = pick(refd["rows01"], refd["lane01"])[:, :ndofs]
-        tail = pick(refd["rows2"], refd["lane2"])[:, : ndofs - cm["nfk"]]
+        x = pick(choose("01"))[:, :ndofs]
+        tail = pick(choose("2"))[:, : ndofs - cm["nfk"]]
         return x.at[:, cm["nfk"] :].add(tail)
 
     # -------------------------------------------------------------------------
@@ -563,6 +637,16 @@ class EqlbEngine:
 
             return batched_kkt_solve(A, b)
         return jnp.linalg.solve(A, b)
+
+    def _dense_solve_pivoted_bl(self, A, b):
+        """Batch-last PIVOTED solve (XLA LU): A (D, D, X), b (D, R, X).
+        For the indefinite weak-symmetry KKT systems: symmetric patches
+        (e.g. the 8-cell stars of crossed meshes) put an exactly-zero pivot
+        in the pivot-free elimination order even though the matrix itself is
+        well conditioned (measured pivot 3e-19 at cond 5e5)."""
+        Ab = jnp.moveaxis(A, -1, 0)
+        bb = jnp.moveaxis(b, -1, 0)
+        return jnp.moveaxis(jnp.linalg.solve(Ab, bb), 0, -1)
 
     def _dense_solve_bl(self, A, b):
         """Batch-last solve: A (D, D, X), b (D, R, X) -> (D, R, X)."""

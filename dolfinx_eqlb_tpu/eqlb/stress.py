@@ -68,6 +68,186 @@ def weak_symmetry_bucket(engine, key, sol2, facet_kind2, d_proj2, dv, refd):
     )
 
 
+# ---------------------------------------------------------------------------
+# batch-last reduced stress path with geometry caches
+# ---------------------------------------------------------------------------
+
+
+def bsym_combo_tensors(k: int):
+    """Per-combo weak-symmetry reference tensors BsymC (6, 3, 2, nkeep):
+    hat-slot l of a patch cell (0 = the patch vertex, 1 = entry-spoke end,
+    2 = exit-spoke end) maps to a local vertex determined by the combo, and
+    the canonical dof permutation is the combo's."""
+    from ..elements.quadrature import LOCAL_EDGE_VERTICES as LOC
+    from .engine import reference_tensors
+    from .semiexplicit import _perm_q
+
+    Rlam = reference_tensors(k)["Rlam"]  # (3, 2, nrt)
+    nkeep = 2 * k + k * (k - 1)
+    out = np.zeros((6, 3, 2, nkeep))
+    for q in range(6):
+        ln, pq = _perm_q(q, k)
+        o = q % 2
+        e1 = (ln + 1) % 3 if o == 0 else (ln + 2) % 3
+        e2 = (ln + 2) % 3 if o == 0 else (ln + 1) % 3
+        ends = []
+        for e in (e1, e2):
+            pair = LOC[e]
+            ends.append(pair[1] if pair[0] == ln else pair[0])
+        for slot, v in enumerate([ln, ends[0], ends[1]]):
+            out[q, slot] = Rlam[v][:, pq]
+    return out
+
+
+def build_stress_cache(engine, key, dv, refd):
+    """Geometry-only stress-system cache for one bucket (batch-last).
+
+    The reduced weak-symmetry KKT matrix
+
+        S = [ A_z        (B1 Z)^T ]      (D = 2 Dz + C + 1)
+            [      A_z   (B2 Z)^T ]
+            [ B1 Z B2 Z     ch    ]
+
+    depends only on geometry.  Interior buckets also cache the constraint
+    columns of S^{-1} (the per-call load has entries only in the C
+    constraint rows), so the steady-state stress correction is one small
+    contraction; boundary buckets keep S and re-mask per call."""
+    from .semiexplicit import reduced_system_bl
+
+    b = engine.buckets[key]
+    t = engine.tables[key]
+    st = engine.se_static[key]
+    k = engine.k
+    n, ns = b.ncells, b.nspokes
+    P = dv["J_bl"].shape[-1]
+    dt = engine.dtype
+    Dz = st["Dz"]
+    C = t["np1"]
+    D = 2 * Dz + C + 1
+    ilc = 2 * Dz + C
+
+    J = dv["J_bl"]
+    detJ = dv["detJ_bl"]
+    adet = jnp.abs(detJ)
+    sdet = jnp.sign(detJ)
+    signs = dv["signs_bl"]
+    BsymC = refd["BsymC"]
+
+    # Bsym_bl (n, 3, 2, nkeep, P)
+    Bsym = None
+    for q in range(6):
+        wq = (dv["combo_bl"] == q).astype(dt)  # (n, P)
+        Jw = jnp.einsum("cabx,cx->cabx", J, wq)
+        term = jnp.einsum("cabx,lbi->claix", Jw, BsymC[q])
+        Bsym = term if Bsym is None else Bsym + term
+    Bsym = Bsym * (sdet[:, None, None, None] * signs[:, None, None])
+
+    Az = dv["Az_bl"]
+    S = jnp.zeros((D, D, P), dt)
+    S = S.at[:Dz, :Dz].set(Az)
+    S = S.at[Dz : 2 * Dz, Dz : 2 * Dz].set(Az)
+
+    p1idx = t["p1_idx"]
+    U = st["uslots"]
+    d0 = dv["cumalpha_bl"]
+    for i in range(n):
+        B1 = Bsym[i, :, 1]  # (3, nkeep, P)
+        B2 = -Bsym[i, :, 0]
+        wen = d0[i]
+        wex = d0[st["exit_idx"][i]]
+        rows = 2 * Dz + p1idx[i]
+        for comp, Bi in ((0, B1), (1, B2)):
+            off = comp * Dz
+            bi0 = Bi[:, 0] * wen + Bi[:, k] * wex  # (3, P)
+            S = S.at[rows, off].add(bi0)
+            S = S.at[off, rows].add(bi0)
+            if len(U):
+                cols = off + st["ucols"][i]
+                S = S.at[rows[:, None], cols[None, :]].add(Bi[:, U])
+                S = S.at[cols[:, None], rows[None, :]].add(
+                    jnp.swapaxes(Bi[:, U], 0, 1)
+                )
+        hi = jnp.broadcast_to(adet[i] / 6.0, (3, P))
+        S = S.at[rows, ilc].add(hi)
+        S = S.at[ilc, rows].add(hi)
+
+    if not b.is_boundary:
+        # constraint columns of S^{-1} restricted to the flux rows; S itself
+        # is not needed at runtime for interior buckets (keeping it costs
+        # ~3 GB at 1M cells)
+        E = jnp.zeros((D, C, P), dt)
+        E = E.at[2 * Dz + jnp.arange(C), jnp.arange(C)].set(1.0)
+        X = engine._dense_solve_pivoted_bl(S, E)  # (D, C, P)
+        return {"Sinv_c": X[: 2 * Dz], "Bsym_bl": Bsym}
+    return {"S_stress": S, "Bsym_bl": Bsym}
+
+
+def weak_symmetry_bucket_bl(engine, key, sol2_bl, facet_kind2, dv, refd):
+    """Batch-last weak-symmetry correction -> (2, nflux, P) deltas.
+
+    sol2_bl (2, nflux, P): the equilibrated stress-row patch dofs.  The
+    flux-block load vanishes by optimality of the flux solve, so the only
+    data is the constraint residual g_h = -(B1 c0 + B2 c1)_h."""
+    b = engine.buckets[key]
+    t = engine.tables[key]
+    st = engine.se_static[key]
+    k = engine.k
+    n, ns = b.ncells, b.nspokes
+    P = dv["J_bl"].shape[-1]
+    dt = engine.dtype
+    Dz = st["Dz"]
+    C = t["np1"]
+    D = 2 * Dz + C + 1
+    ilc = 2 * Dz + C
+    kk1 = engine.V.element.ndofs_cell
+    nflux = ns * k + n * kk1
+
+    Bsym = dv["Bsym_bl"]  # (n, 3, 2, nkeep, P)
+    pidx = t["patch_idx"]
+    p1idx = t["p1_idx"]
+    g = jnp.zeros((C, P), dt)
+    for i in range(n):
+        c0 = sol2_bl[0][pidx[i]]  # (nkeep, P)
+        c1 = sol2_bl[1][pidx[i]]
+        B1 = Bsym[i, :, 1]
+        B2 = -Bsym[i, :, 0]
+        g = g.at[p1idx[i]].add(
+            -jnp.einsum("lsx,sx->lx", B1, c0)
+            - jnp.einsum("lsx,sx->lx", B2, c1)
+        )
+
+    if not b.is_boundary and "Sinv_c" in dv:
+        yf = jnp.einsum("dhx,hx->dx", dv["Sinv_c"], g)  # (2Dz, P)
+        y0, y1 = yf[:Dz], yf[Dz:]
+    else:
+        # boundary: mask essential flux columns / multiplier, then solve
+        from .semiexplicit import z_mask_bl
+
+        S = dv["S_stress"]
+        bsp = dv["bspokes"]
+        ess = facet_kind2[:, bsp] == 2  # (2, P, 2)
+        fr = z_mask_bl(engine, key, jnp.moveaxis(ess, 1, -1))  # (2, Dz, P)
+        free = jnp.ones((D, P), dtype=bool)
+        free = free.at[:Dz].set(fr[0])
+        free = free.at[Dz : 2 * Dz].set(fr[1])
+        free = free.at[ilc].set(ess.all(axis=(0, 2)))
+        ff = free[:, None] & free[None, :]
+        eye = jnp.eye(D, dtype=dt)
+        Sr = jnp.where(ff, S, 0.0) + eye[..., None] * (~free)[None]
+        rhs = jnp.zeros((D, P), dt).at[2 * Dz : 2 * Dz + C].set(g)
+        rhs = jnp.where(free, rhs, 0.0)
+        y = engine._dense_solve_pivoted_bl(Sr, rhs[:, None, :])[:, 0]  # (D, P)
+        y0, y1 = y[:Dz], y[Dz : 2 * Dz]
+
+    delta = jnp.zeros((2, nflux, P), dt)
+    cum = dv["cumalpha_bl"]
+    for row, yr in ((0, y0), (1, y1)):
+        if Dz > 1:
+            delta = delta.at[row, st["sel"]].add(yr[1:])
+        delta = delta.at[row, 0 : ns * k : k].add(yr[0][None] * cum)
+    return delta
+
+
 def weak_symmetry_bucket_reduced(engine, key, sol2, facet_kind2, d_proj2, dv, refd):
     """Reduced weak-symmetry correction: both stress rows' corrections live
     in the explicit divergence-free patch basis Z (``eqlb.semiexplicit``), so

@@ -146,7 +146,11 @@ def batched_kkt_solve_bl(A, b, tile: int | None = None):
         )[:, :, None]
         b = jnp.pad(b, ((0, Dp - D), (0, 0), (0, 0)))
     if tile is None:
-        tile = max(128, min(1024, int(3.0 * 2**20 / (Dp * Dp * 4))))
+        # VMEM budget: double-buffered A/b input blocks + scratches + out
+        # (~3 Dp^2 + 5 Dp R floats per batch lane, observed)
+        tile = max(128, min(1024, int(
+            7.0 * 2**20 / (4.0 * (3 * Dp * Dp + 5 * Dp * R))
+        )))
         tile -= tile % 128
     pad = (-X) % tile
     if pad:
@@ -191,8 +195,10 @@ def batched_kkt_solve(A, b, tile: int | None = None):
             [b2, jnp.zeros((Pt, Dp - D, R), b.dtype)], axis=1
         )
     if tile is None:
-        # VMEM budget ~2 x A-tile (block + scratch) + pipeline buffers
-        tile = max(128, min(1024, int(3.0 * 2**20 / (Dp * Dp * 4))))
+        # VMEM budget: double-buffered A/b input blocks + scratches + out
+        tile = max(128, min(1024, int(
+            7.0 * 2**20 / (4.0 * (3 * Dp * Dp + 5 * Dp * R))
+        )))
         tile -= tile % 128
     pad = (-Pt) % tile
     if pad:

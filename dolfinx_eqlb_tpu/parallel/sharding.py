@@ -38,6 +38,7 @@ class ShardedEqlbEngine:
                 raise ValueError(
                     "construct the engine with pad_to_multiple=n_devices"
                 )
+        engine.ensure_stress_caches()  # dryruns exercise weak symmetry
         dev, refd = engine._device_tables()
         repl = NamedSharding(mesh, P())
         self.dev = {}
@@ -49,7 +50,7 @@ class ShardedEqlbEngine:
                 # the batch-major tables, trailing for the batch-last ones
                 # (gflat is nflux-major, so contiguous chunks are full
                 # patch-ranges of one dof slot — still patch-parallel)
-                if name.endswith("_bl") or name == "gflat":
+                if name.endswith("_bl") or name in ("S_stress", "Sinv_c"):
                     spec = P(*([None] * (a.ndim - 1) + [axis]))
                 elif a.ndim >= 1 and a.shape[0] == npad:
                     spec = P(axis)
