@@ -409,6 +409,7 @@ class EqlbEngine:
     def equilibrate(
         self, sigma_proj_dofs, rhs_dofs, facet_kind, bvals,
         weak_symmetry=False, fuse=None, transposed_inputs=False,
+        ws_skip_nodes=None,
     ):
         """Solve all patch problems; returns global RT dof vectors
         (n_rhs, ndofs_flux).
@@ -437,6 +438,14 @@ class EqlbEngine:
                 or (self.solver == "pallas")
                 or npatches <= 150_000
             )
+        ws_skip = None
+        if weak_symmetry and ws_skip_nodes is not None and len(ws_skip_nodes):
+            ws_skip = {}
+            for key, b in self.buckets.items():
+                P = self.tables[key]["J"].shape[0]
+                m = np.zeros(P, dtype=bool)
+                m[: b.npatches] = np.isin(b.nodes, ws_skip_nodes)
+                ws_skip[key] = jnp.asarray(m)
         if fuse and self.mode == "semiexplicit":
             if weak_symmetry:
                 self.ensure_stress_caches()
@@ -456,7 +465,7 @@ class EqlbEngine:
                 )
             return self._jit_eqT(
                 dpT, drT, jnp.asarray(facet_kind),
-                jnp.asarray(bvals, self.dtype), dev, refd,
+                jnp.asarray(bvals, self.dtype), dev, refd, ws_skip,
                 weak_symmetry=weak_symmetry,
             )
         args = (
@@ -533,7 +542,8 @@ class EqlbEngine:
         return x
 
     def _equilibrate_impl_T(
-        self, dpT, drT, facet_kind, bvals, dev, refd, weak_symmetry=False
+        self, dpT, drT, facet_kind, bvals, dev, refd, ws_skip=None,
+        weak_symmetry=False,
     ):
         """Semi-explicit fused program on pre-transposed (batch-last) data:
         dpT (n_rhs, 2, ndg, nc), drT (n_rhs, ndg, nc)."""
@@ -557,7 +567,8 @@ class EqlbEngine:
                     from .stress import weak_symmetry_bucket_bl
 
                     delta = weak_symmetry_bucket_bl(
-                        self, key, sol_bl[:2], facet_kind[:2], dev[key], refd
+                        self, key, sol_bl[:2], facet_kind[:2], dev[key], refd,
+                        skip=None if ws_skip is None else ws_skip[key],
                     )
                     delta = jax.lax.optimization_barrier(delta)
                     sol_bl = sol_bl.at[:2].add(delta)

@@ -90,7 +90,7 @@ class FluxEquilibrator:
             for i in range(self.n_fluxes)
         ]
 
-    def _solve(self, weak_symmetry=False):
+    def _solve(self, weak_symmetry=False, ws_skip_nodes=None):
         if self.boundary_data is None:
             # no BCs set: all boundary facets flux-free
             self.boundary_data = BoundaryData(
@@ -103,6 +103,7 @@ class FluxEquilibrator:
             jnp.asarray(bd.facet_kind),
             jnp.asarray(bd.bvals),
             weak_symmetry=weak_symmetry,
+            ws_skip_nodes=ws_skip_nodes,
         )  # (n_rhs, ndofs_rt)
 
     def get_reconstructed_fluxes(self, subproblem: int):
@@ -158,25 +159,26 @@ class FluxEqlbSE(FluxEquilibrator):
         if self.equilibrate_stress and self.degree_flux < 2:
             # reference se/reconstruction.hpp:357-388 enforces the same
             raise ValueError("stress equilibration requires flux degree >= 2")
+        groups, skip = [], None
         if self.equilibrate_stress and self.degree_flux == 2 and self.boundary_data is not None:
-            from .patches import deficient_stress_vertices
+            # deficient pure-traction boundary patches are merged with an
+            # adjacent interior patch and corrected jointly (reference
+            # se/reconstruction.hpp:166-234 patch grouping); only truly
+            # ungroupable meshes raise (eqlb.grouping.build_groups)
+            from .grouping import build_groups
 
-            bad = deficient_stress_vertices(
-                self.mesh, self.boundary_data.facet_kind
+            groups, skip = build_groups(
+                self.engine, self.boundary_data.facet_kind[:2]
             )
-            if len(bad):
-                # reference parity: se/reconstruction.hpp raises
-                # "Incompatible mesh! To many patches with 2 cells on
-                # neumann boundary." (it groups such patches when they
-                # neighbour an interior patch; grouping is not implemented
-                # here yet)
-                raise ValueError(
-                    "Incompatible mesh: pure-traction boundary patches with "
-                    f"<= 2 cells at vertices {bad.tolist()} cannot satisfy "
-                    "the weak-symmetry constraints at flux degree 2. "
-                    "Refine them first (eqlb.patches.refine_for_stress)."
-                )
-        x = self._solve(weak_symmetry=self.equilibrate_stress)
+        x = self._solve(weak_symmetry=self.equilibrate_stress,
+                        ws_skip_nodes=skip)
+        if groups:
+            from .grouping import grouped_weak_symmetry
+
+            x01 = grouped_weak_symmetry(
+                self.engine, x[:2], self.boundary_data.facet_kind[:2], groups
+            )
+            x = x.at[:2].set(x01)
         self.list_flux = []
         for i in range(self.n_fluxes):
             sig_r = self._to_corrector(x[i])

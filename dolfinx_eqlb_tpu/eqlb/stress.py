@@ -182,7 +182,8 @@ def build_stress_cache(engine, key, dv, refd):
     return {"S_stress": S, "Bsym_bl": Bsym}
 
 
-def weak_symmetry_bucket_bl(engine, key, sol2_bl, facet_kind2, dv, refd):
+def weak_symmetry_bucket_bl(engine, key, sol2_bl, facet_kind2, dv, refd,
+                            skip=None):
     """Batch-last weak-symmetry correction -> (2, nflux, P) deltas.
 
     sol2_bl (2, nflux, P): the equilibrated stress-row patch dofs.  The
@@ -218,6 +219,9 @@ def weak_symmetry_bucket_bl(engine, key, sol2_bl, facet_kind2, dv, refd):
 
     if not b.is_boundary and "Sinv_c" in dv:
         yf = jnp.einsum("dhx,hx->dx", dv["Sinv_c"], g)  # (2Dz, P)
+        if skip is not None:
+            # grouped patches get their correction jointly (eqlb.grouping)
+            yf = jnp.where(skip[None], 0.0, yf)
         y0, y1 = yf[:Dz], yf[Dz:]
     else:
         # boundary: mask essential flux columns / multiplier, then solve
@@ -231,6 +235,9 @@ def weak_symmetry_bucket_bl(engine, key, sol2_bl, facet_kind2, dv, refd):
         free = free.at[:Dz].set(fr[0])
         free = free.at[Dz : 2 * Dz].set(fr[1])
         free = free.at[ilc].set(ess.all(axis=(0, 2)))
+        if skip is not None:
+            # grouped patches: identity system -> zero correction here
+            free = free & (~skip)[None]
         ff = free[:, None] & free[None, :]
         eye = jnp.eye(D, dtype=dt)
         Sr = jnp.where(ff, S, 0.0) + eye[..., None] * (~free)[None]

@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 from dolfinx_eqlb_tpu.mesh import unit_square, permute_vertices
+from dolfinx_eqlb_tpu.mesh.generators import unit_square_unstructured
 from dolfinx_eqlb_tpu.fem import (
     FunctionSpace,
     local_projection,
@@ -89,6 +90,9 @@ def _setup(msh, order_prime, order_eqlb, bc_type="dirichlet"):
 MESHES = [
     ("builtin", lambda: unit_square(4)),
     ("reversed", lambda: permute_vertices(unit_square(4), seed=13)),
+    # unstructured Delaunay fixture: valences 4-8, obtuse cells, reversed
+    # edges (the reference's gmsh-mesh role, utils.py:96-176)
+    ("unstructured", lambda: unit_square_unstructured(4, seed=1)),
 ]
 
 

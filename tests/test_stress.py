@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from dolfinx_eqlb_tpu.mesh import unit_square, permute_vertices
+from dolfinx_eqlb_tpu.mesh.generators import unit_square_unstructured
 from dolfinx_eqlb_tpu.fem import FunctionSpace, local_projection, expr_from_callable
 from dolfinx_eqlb_tpu.eqlb import (
     FluxEqlbSE,
@@ -35,6 +36,7 @@ def _sigma_rows(deg):
 @pytest.mark.parametrize("mesh_fn", [
     lambda: unit_square(3),
     lambda: permute_vertices(unit_square(3), seed=21),
+    lambda: unit_square_unstructured(4, seed=1),
 ])
 @pytest.mark.parametrize("deg", [2, 3])
 def test_stress_equilibration_conditions(mesh_fn, deg):
