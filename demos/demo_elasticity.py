@@ -1,9 +1,17 @@
 """Demo: weakly symmetric stress equilibration for linear elasticity.
 
 Mirror of reference ``demo/elasticity/demo_reconstruction.py`` +
-``demo_error_estimation.py``: displacement formulation with
-sigma = 2 eps(u) + pi_1 div(u) I, equilibration of the negated stress rows
-with weak symmetry + Korn constants, guaranteed error bound.
+``demo_error_estimation.py``, both primal formulations:
+
+* ``--formulation u``:  displacement, sigma = 2 eps(u) + pi_1 div(u) I
+* ``--formulation up``: Herrmann displacement-pressure (Taylor-Hood
+  P_{k+1} x P_k, reference ``demo_reconstruction.py:353-377``), sigma =
+  2 eps(u) + p I, with the C_a-weighted constitutive-mismatch term in the
+  guaranteed bound (reference ``demo_error_estimation.py:113-119``).
+
+Equilibrates the negated stress rows with weak symmetry + Korn constants
+and reports the guaranteed bound and its efficiency index vs the energy
+error (reference ``demo_error_estimation.py:185-208``).
 """
 
 import argparse
@@ -17,6 +25,11 @@ jax.config.update("jax_enable_x64", True)
 from dolfinx_eqlb_tpu.mesh import unit_square
 from dolfinx_eqlb_tpu.fem import FunctionSpace, local_projection, expr_from_callable
 from dolfinx_eqlb_tpu.models import ElasticitySolver, stress_row_expr
+from dolfinx_eqlb_tpu.models.elasticity import (
+    ElasticitySolverUP,
+    pressure_mismatch_expr,
+    stress_row_expr_up,
+)
 from dolfinx_eqlb_tpu.eqlb import (
     FluxEqlbSE,
     check_divergence_condition,
@@ -44,9 +57,36 @@ def f_body(x):
     return 2 * np.pi**2 * u_exact(x)
 
 
-def run(n=8, order_prime=2, degree=2, check=True):
+def _energy_error(msh, uh, ph, formulation):
+    """Reference energy norms (``demo_error_estimation.py:185-208``)."""
+    from dolfinx_eqlb_tpu.elements.quadrature import gauss_triangle
+
+    pts, w = gauss_triangle(12)
+    xq = msh.map_points(pts)
+    g = np.asarray(uh.evaluate_grad(pts))  # (nc, nq, 2, 2)
+    # exact gradient of u_exact
+    c, s_ = np.cos, np.sin
+    pi = np.pi
+    gex = np.empty_like(g)
+    gex[..., 0, 0] = pi * c(pi * xq[..., 0]) * c(pi * xq[..., 1])
+    gex[..., 0, 1] = -pi * s_(pi * xq[..., 0]) * s_(pi * xq[..., 1])
+    gex[..., 1, 0] = pi * s_(pi * xq[..., 0]) * s_(pi * xq[..., 1])
+    gex[..., 1, 1] = -pi * c(pi * xq[..., 0]) * c(pi * xq[..., 1])
+    de = g - gex
+    eps = 0.5 * (de + np.swapaxes(de, -1, -2))
+    adet = np.abs(msh.detJ)
+    if formulation == "u":
+        dens = np.einsum("cqab,cqab->cq", eps, eps) + (
+            de[..., 0, 0] + de[..., 1, 1]
+        ) ** 2
+    else:
+        dp = np.asarray(ph.evaluate(pts))[..., 0] / PI_1  # div u_exact = 0
+        dens = 2.0 * np.einsum("cqab,cqab->cq", eps, eps) + dp**2
+    return float(np.sqrt(np.einsum("q,cq,c->", w, dens, adet)))
+
+
+def run(n=8, order_prime=2, degree=2, check=True, formulation="u"):
     msh = unit_square(n)
-    V = FunctionSpace(msh, "P", order_prime, vs=2)
     Vf = FunctionSpace(msh, "DG", degree - 1, vs=2)
     Vr = FunctionSpace(msh, "DG", degree - 1)
     # project the body force FIRST and use the projected data in the primal
@@ -60,19 +100,36 @@ def run(n=8, order_prime=2, degree=2, check=True):
     )
     from dolfinx_eqlb_tpu.fem import as_vector
 
-    solver = ElasticitySolver(V, PI_1)
-    uh = solver.solve(
-        as_vector(rhs_proj, msh),
-        msh.boundary_facets,
-        expr_from_callable(u_exact, msh, value_size=2),
-        rtol=1e-12,
-    )
-    print(f"Primal elasticity solved ({solver.last_iterations} CG iters)")
+    pressure_term = None
+    if formulation == "u":
+        V = FunctionSpace(msh, "P", order_prime, vs=2)
+        solver = ElasticitySolver(V, PI_1)
+        uh = solver.solve(
+            as_vector(rhs_proj, msh),
+            msh.boundary_facets,
+            expr_from_callable(u_exact, msh, value_size=2),
+            rtol=1e-12,
+        )
+        ph = None
+        print(f"Primal elasticity solved ({solver.last_iterations} CG iters)")
+        rows = [stress_row_expr(uh, PI_1, 0, -1.0),
+                stress_row_expr(uh, PI_1, 1, -1.0)]
+    else:
+        Vu = FunctionSpace(msh, "P", order_prime + 1, vs=2)
+        Vp = FunctionSpace(msh, "P", order_prime)
+        solver = ElasticitySolverUP(Vu, Vp, PI_1)
+        uh, ph = solver.solve(
+            as_vector(rhs_proj, msh),
+            msh.boundary_facets,
+            expr_from_callable(u_exact, msh, value_size=2),
+            rtol=1e-12,
+        )
+        print(f"Primal u-p elasticity solved ({solver.last_iterations} MINRES iters)")
+        rows = [stress_row_expr_up(uh, ph, 0, -1.0),
+                stress_row_expr_up(uh, ph, 1, -1.0)]
+        pressure_term = pressure_mismatch_expr(uh, ph, PI_1)
 
-    sigma_proj = local_projection(
-        Vf,
-        [stress_row_expr(uh, PI_1, 0, -1.0), stress_row_expr(uh, PI_1, 1, -1.0)],
-    )
+    sigma_proj = local_projection(Vf, rows)
     eq = FluxEqlbSE(degree, msh, rhs_proj, sigma_proj,
                     equilibrate_stress=True, estimate_korn_constant=True)
     eq.set_boundary_conditions([msh.boundary_facets] * 2, [[], []])
@@ -88,10 +145,13 @@ def run(n=8, order_prime=2, degree=2, check=True):
     eta, comps, cell_eta = estimate_elasticity(
         [lambda x: f_body(x)[..., 0], lambda x: f_body(x)[..., 1]],
         PI_1, sigma_proj, eq.list_flux, eq.get_korn_constants(),
+        pressure_term=pressure_term,
     )
+    err = _energy_error(msh, uh, ph, formulation)
     print(f"guaranteed bound eta = {eta:.4e} "
           f"(eta_sig {comps[0]:.3e}, eta_wsym {comps[1]:.3e}, eta_osc {comps[2]:.3e})")
-    return eta, comps
+    print(f"energy error = {err:.4e}, I_eff = {eta / err:.3f}")
+    return eta, comps, err
 
 
 if __name__ == "__main__":
@@ -99,5 +159,6 @@ if __name__ == "__main__":
     p.add_argument("--n", type=int, default=8)
     p.add_argument("--order-prime", type=int, default=2)
     p.add_argument("--degree", type=int, default=2)
+    p.add_argument("--formulation", choices=["u", "up"], default="u")
     a = p.parse_args()
-    run(a.n, a.order_prime, a.degree)
+    run(a.n, a.order_prime, a.degree, formulation=a.formulation)

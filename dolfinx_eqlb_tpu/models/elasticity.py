@@ -18,7 +18,8 @@ from ..fem.spaces import Function, FunctionSpace
 from ..fem.expressions import as_expr
 from .poisson import locate_dofs_on_facets
 
-__all__ = ["ElasticitySolver", "stress_row_expr"]
+__all__ = ["ElasticitySolver", "ElasticitySolverUP", "stress_row_expr",
+           "stress_row_expr_up", "pressure_mismatch_expr"]
 
 
 class _StressRow:
@@ -194,3 +195,237 @@ class ElasticitySolver:
         self.last_iterations = int(it)
         self.last_residual = float(jnp.linalg.norm(r))
         return Function(V, x)
+
+
+class _StressRowUP:
+    """Row i of sigma(u_h, p_h) = 2 eps(u_h) + p_h I (Herrmann
+    displacement-pressure formulation, reference elasticity
+    demo_reconstruction.py:355-377, 436-442), optionally scaled."""
+
+    def __init__(self, uh: Function, ph: Function, row: int, scale: float = 1.0):
+        self.uh, self.ph, self.row, self.scale = uh, ph, row, scale
+        self.mesh = uh.space.mesh
+        self.value_size = 2
+
+    def evaluate(self, q):
+        g = self.uh.evaluate_grad(q)  # (nc, nq, 2, 2)
+        eps = 0.5 * (g + jnp.swapaxes(g, -1, -2))
+        p = self.ph.evaluate(q)[..., 0]
+        sig_row = 2.0 * eps[..., self.row, :]
+        sig_row = sig_row.at[..., self.row].add(p)
+        return self.scale * sig_row
+
+
+def stress_row_expr_up(uh: Function, ph: Function, row: int, scale: float = 1.0):
+    from ..fem.expressions import Expr
+
+    class _E(_StressRowUP, Expr):
+        pass
+
+    return _E(uh, ph, row, scale)
+
+
+class _PressureMismatch:
+    """div(u_h) - p_h / pi_1: the Herrmann formulation's constitutive
+    mismatch entering the guaranteed bound (reference
+    demo_error_estimation.py:113-119)."""
+
+    def __init__(self, uh: Function, ph: Function, pi_1: float):
+        self.uh, self.ph, self.pi_1 = uh, ph, pi_1
+        self.mesh = uh.space.mesh
+        self.value_size = 1
+
+    def evaluate(self, q):
+        g = self.uh.evaluate_grad(q)
+        divu = g[..., 0, 0] + g[..., 1, 1]
+        p = self.ph.evaluate(q)[..., 0]
+        return (divu - p / self.pi_1)[..., None]
+
+
+def pressure_mismatch_expr(uh: Function, ph: Function, pi_1: float):
+    from ..fem.expressions import Expr
+
+    class _E(_PressureMismatch, Expr):
+        pass
+
+    return _E(uh, ph, pi_1)
+
+
+class ElasticitySolverUP:
+    """Herrmann displacement-pressure primal solver: Taylor-Hood
+    P_{k+1}^2 x P_k with
+
+        (2 eps(u), eps(v)) + (p, div v) = (f, v)
+        (div u, q) - (1/pi_1)(p, q)     = 0
+
+    (reference ``demo/elasticity/demo_reconstruction.py:353-377``).  The
+    symmetric indefinite system is solved matrix-free with Jacobi-
+    preconditioned MINRES (the reference uses a direct LU; an iterative
+    Krylov method is the TPU-native equivalent — the (1/pi_1) pressure mass
+    block makes the system symmetric quasi-definite, so MINRES converges
+    without a pressure nullspace)."""
+
+    def __init__(self, Vu: FunctionSpace, Vp: FunctionSpace, pi_1: float,
+                 quadrature_degree=None):
+        assert Vu.family == "P" and Vu.block_size == 2
+        assert Vp.family == "P" and Vp.block_size == 1
+        assert Vu.degree == Vp.degree + 1, "Taylor-Hood pairing"
+        self.Vu, self.Vp, self.pi_1 = Vu, Vp, pi_1
+        msh = Vu.mesh
+        ku = Vu.degree
+        qdeg = quadrature_degree or 2 * ku
+        pts, w = gauss_triangle(qdeg)
+        K = msh.K
+        adet = np.abs(msh.detJ)
+        nc = len(K)
+
+        tgu = Vu.element.tabulate_grad(pts)  # (ndu, 2, nq)
+        gu = np.einsum("cba,ibq->ciaq", K, tgu)  # physical grads
+        ndu = Vu.element.ndofs
+        # 2 eps(u):eps(v) element matrix (same contraction as the
+        # displacement solver with the volumetric term dropped)
+        gg = np.einsum("q,ciaq,cjbq->ciajb", w, gu, gu)
+        Auu = np.zeros((nc, ndu, 2, ndu, 2))
+        gij = np.einsum("q,cixq,cjxq->cij", w, gu, gu)
+        for a in range(2):
+            Auu[:, :, a, :, a] += gij
+        Auu += np.einsum("ciajb->cibja", gg)
+        Auu *= adet[:, None, None, None, None]
+        self.Ae_uu = jnp.asarray(Auu.reshape(nc, 2 * ndu, 2 * ndu))
+
+        tp = Vp.element.tabulate(pts)  # (ndp, nq)
+        ndp = Vp.element.ndofs
+        # B[(j), (i,a)] = int q_j (grad u_i)_a   ((div u, q))
+        Be = np.einsum("q,jq,ciaq,c->cjia", w, tp, gu, adet)
+        self.Be = jnp.asarray(Be.reshape(nc, ndp, 2 * ndu))
+        Mp = np.einsum("q,iq,jq,c->cij", w, tp, tp, adet)
+        self.Me_p = jnp.asarray(Mp)
+
+        # dof tables ((i, a)-flattened for u, matching Ae_uu)
+        cdu = Vu.cell_dofs.astype(np.int64)
+        dofs_ia = np.empty((nc, 2 * ndu), dtype=np.int64)
+        for i in range(ndu):
+            for a in range(2):
+                dofs_ia[:, i * 2 + a] = cdu[:, i] + a * Vu.ndofs_scalar
+        self.cdu = jnp.asarray(dofs_ia)
+        self.cdp = jnp.asarray(Vp.cell_dofs.astype(np.int64))
+        self.nu, self.np_ = Vu.ndofs, Vp.ndofs
+        self._qpts, self._qw = pts, w
+        self._tabu = jnp.asarray(Vu.element.tabulate(pts))
+
+        du = jnp.zeros(self.nu).at[self.cdu].add(
+            jnp.einsum("cii->ci", self.Ae_uu)
+        )
+        dp = jnp.zeros(self.np_).at[self.cdp].add(
+            jnp.einsum("cii->ci", self.Me_p)
+        ) / pi_1
+        self.diag = jnp.concatenate([du, dp])
+
+    def matvec(self, x):
+        xu = x[: self.nu]
+        xp = x[self.nu :]
+        xue = xu[self.cdu]
+        xpe = xp[self.cdp]
+        yu = jnp.einsum("cij,cj->ci", self.Ae_uu, xue) + jnp.einsum(
+            "cji,cj->ci", self.Be, xpe
+        )
+        yp = jnp.einsum("cij,cj->ci", self.Be, xue) - (1.0 / self.pi_1) * jnp.einsum(
+            "cij,cj->ci", self.Me_p, xpe
+        )
+        return jnp.concatenate([
+            jnp.zeros(self.nu).at[self.cdu].add(yu),
+            jnp.zeros(self.np_).at[self.cdp].add(yp),
+        ])
+
+    def load_vector(self, f_expr):
+        msh = self.Vu.mesh
+        f = as_expr(f_expr, msh)
+        vals = f.evaluate(self._qpts)  # (nc, nq, 2)
+        adet = jnp.abs(jnp.asarray(msh.detJ))
+        be = adet[:, None, None] * jnp.einsum(
+            "q,cqa,iq->cia", jnp.asarray(self._qw), vals, self._tabu
+        )
+        bu = jnp.zeros(self.nu).at[self.cdu].add(
+            be.reshape(len(adet), -1)
+        )
+        return jnp.concatenate([bu, jnp.zeros(self.np_)])
+
+    def solve(self, f_expr, dirichlet_facets, u_d, rtol=1e-12, atol=1e-14,
+              maxiter=None):
+        """Returns (uh, ph)."""
+        Vu = self.Vu
+        bscalar = locate_dofs_on_facets(
+            FunctionSpace(Vu.mesh, "P", Vu.degree), dirichlet_facets
+        )
+        bdofs = np.concatenate([bscalar + a * Vu.ndofs_scalar for a in range(2)])
+        free = np.ones(self.nu + self.np_, dtype=bool)
+        free[bdofs] = False
+        free = jnp.asarray(free)
+
+        from ..fem.interpolate import interpolate
+
+        ud_fun = interpolate(Vu, u_d)
+        x0 = jnp.where(free, 0.0, jnp.concatenate([
+            ud_fun.x, jnp.zeros(self.np_)
+        ]))
+        b = self.load_vector(f_expr)
+        r0 = jnp.where(free, b - self.matvec(x0), 0.0)
+        Minv = jnp.where(jnp.abs(self.diag) > 0, 1.0 / jnp.abs(self.diag), 1.0)
+        if maxiter is None:
+            maxiter = 60 * int(np.sqrt(self.nu + self.np_) + 100)
+
+        def Aop(v):
+            return jnp.where(free, self.matvec(jnp.where(free, v, 0.0)), 0.0)
+
+        def minres(x0, r0):
+            # preconditioned MINRES (Paige & Saunders) with M = diag
+            y = Minv * r0
+            beta1 = jnp.sqrt(jnp.dot(r0, y))
+            bnorm = beta1 + atol
+
+            def cond(st):
+                return (st["phibar"] > rtol * bnorm + atol) & (st["it"] < maxiter)
+
+            def body(st):
+                v = st["y"] / st["beta"]
+                Av = Aop(v)
+                alfa = jnp.dot(v, Av)
+                ynew = Minv * Av - (alfa / st["beta"]) * st["y"] \
+                    - (st["beta"] / st["beta_old"]) * st["y_old"]
+                rnew = Av - (alfa / st["beta"]) * st["r"] \
+                    - (st["beta"] / st["beta_old"]) * st["r_old"]
+                beta_new = jnp.sqrt(jnp.maximum(jnp.dot(rnew, ynew), 0.0) + 1e-300)
+                # QR via Givens
+                dbar, epsln = st["dbar"], st["epsln"]
+                oldeps = epsln
+                delta = st["cs"] * dbar + st["sn"] * alfa
+                gbar = st["sn"] * dbar - st["cs"] * alfa
+                epsln = st["sn"] * beta_new
+                dbar = -st["cs"] * beta_new
+                gamma = jnp.sqrt(gbar**2 + beta_new**2) + 1e-300
+                cs = gbar / gamma
+                sn = beta_new / gamma
+                phi = cs * st["phibar"]
+                phibar = sn * st["phibar"]
+                w = (v - oldeps * st["w_old2"] - delta * st["w_old"]) / gamma
+                x = st["x"] + phi * w
+                return dict(
+                    x=x, r=rnew, r_old=st["r"], y=ynew, y_old=st["y"],
+                    beta=beta_new, beta_old=st["beta"], dbar=dbar,
+                    epsln=epsln, cs=cs, sn=sn, phibar=phibar,
+                    w_old=w, w_old2=st["w_old"], it=st["it"] + 1,
+                )
+
+            st0 = dict(
+                x=x0, r=r0, r_old=jnp.zeros_like(r0), y=y,
+                y_old=jnp.zeros_like(r0), beta=beta1, beta_old=1.0,
+                dbar=0.0, epsln=0.0, cs=-1.0, sn=0.0, phibar=beta1,
+                w_old=jnp.zeros_like(r0), w_old2=jnp.zeros_like(r0), it=0,
+            )
+            return jax.lax.while_loop(cond, body, st0)
+
+        st = jax.jit(minres)(x0, r0)
+        self.last_iterations = int(st["it"])
+        self.last_residual = float(st["phibar"])
+        x = st["x"]
+        return Function(self.Vu, x[: self.nu]), Function(self.Vp, x[self.nu :])
