@@ -160,3 +160,37 @@ def test_stress_bc_layouts(traction_sides):
                 eq.list_flux[i], sigma_proj[i], eq.list_bfunctions[i], bfcts
             ), (traction_sides, i)
     assert check_weak_symmetry_condition(eq.list_flux, sigma_proj)
+
+
+def test_nonpolynomial_bc_projection():
+    """Non-polynomial BC data through the projection path (reference
+    ``test_fluxeqlb_bcond.py`` non-polynomial cases): a callable trace is
+    projected onto the facet Legendre moments by quadrature; the resulting
+    boundary dofs must match an independent facet-trace projection, and
+    raising the quadrature degree must converge to the exact moments."""
+    import numpy as np
+    from dolfinx_eqlb_tpu.eqlb.bcs import boundarydata, fluxbc
+    from dolfinx_eqlb_tpu.fem import FunctionSpace, project_facet_trace
+    from dolfinx_eqlb_tpu.mesh import unit_square
+
+    msh = unit_square(3)
+    k = 3
+    V = FunctionSpace(msh, "RT", k)
+    left = msh.locate_boundary_facets(lambda x: np.isclose(x[..., 0], 0.0))
+    g = lambda x: np.exp(np.sin(3.0 * x[..., 1]))  # non-polynomial trace
+
+    bc = fluxbc(g, left, None, requires_projection=True, quadrature_degree=20)
+    other = np.setdiff1d(msh.boundary_facets, left)
+    bd = boundarydata([[bc]], V, [other])
+
+    # independent projection of the trace onto P_{k-1} per facet
+    coef = np.asarray(project_facet_trace(msh, left, g, k))
+    sgn = msh.boundary_outward_sign[left] * msh.facet_length[left]
+    expected = sgn[:, None] * coef[:, :k] / (2.0 * np.arange(k) + 1.0)
+    assert np.allclose(bd.bvals[0, left], expected, atol=1e-12), (
+        np.abs(bd.bvals[0, left] - expected).max()
+    )
+    # low-degree quadrature differs (projection not resolved), high converges
+    bc_lo = fluxbc(g, left, None, quadrature_degree=2)
+    bd_lo = boundarydata([[bc_lo]], V, [other])
+    assert not np.allclose(bd_lo.bvals[0, left], expected, atol=1e-12)

@@ -144,3 +144,25 @@ def test_ev_se_same_minimiser(degree):
     v_ev = np.asarray(reconstructed_flux_expr(ev.list_flux[0], sigma_proj[0]).evaluate(pts))
     v_se = np.asarray(reconstructed_flux_expr(se.list_flux[0], sigma_proj[0]).evaluate(pts))
     assert np.allclose(v_ev, v_se, atol=1e-9)
+
+
+@pytest.mark.parametrize("Eqlb", [FluxEqlbSE, FluxEqlbEV])
+def test_equilibration_conditions_degree4(Eqlb):
+    """Degree-4 invariant coverage (reference sweeps 1-4; one mesh/BC combo
+    here to bound runtime — tests/test_semiexplicit.py covers k=4 path
+    agreement separately)."""
+    msh = unit_square(3)
+    uh, rhs_proj, sigma_proj, fcts_prime, bcs = _setup(msh, 4, 4, "neumann_inhom")
+    eq = Eqlb(4, msh, rhs_proj, sigma_proj)
+    eq.set_boundary_conditions([fcts_prime], [bcs])
+    eq.equilibrate_fluxes()
+    sig = eq.list_flux[0]
+    assert check_divergence_condition(sig, sigma_proj[0], rhs_proj[0]), (
+        check_divergence_condition(sig, sigma_proj[0], rhs_proj[0], return_error=True)
+    )
+    if Eqlb is FluxEqlbSE:
+        assert check_jump_condition(sig, sigma_proj[0])
+    assert check_boundary_conditions(
+        sig, sigma_proj[0], eq.list_bfunctions[0],
+        np.asarray(np.setdiff1d(msh.boundary_facets, fcts_prime), dtype=np.int64),
+    )
