@@ -344,6 +344,11 @@ class EqlbEngine:
             sig = (b.ncells, b.is_boundary, dev[key]["J_bl"].shape[-1])
             if sig not in geom_jit:
                 def build(dvk, rf, _key=key, _inv=not b.is_boundary):
+                    # see _equilibrate_impl_T: f32 matmul precision required
+                    with jax.default_matmul_precision("float32"):
+                        return build_inner(dvk, rf, _key, _inv)
+
+                def build_inner(dvk, rf, _key, _inv):
                     Mc = mass_matrices_bl(self, _key, dvk, rf)
                     Az, _ = reduced_system_bl(self, _key, Mc, dvk)
                     if _inv:
@@ -381,11 +386,11 @@ class EqlbEngine:
             b = self.buckets[key]
             sig = (b.ncells, b.is_boundary, dev[key]["J_bl"].shape[-1])
             if sig not in cache_jit:
-                cache_jit[sig] = jax.jit(
-                    lambda dvk, rf, _key=key: build_stress_cache(
-                        self, _key, dvk, rf
-                    )
-                )
+                def _build(dvk, rf, _key=key):
+                    with jax.default_matmul_precision("float32"):
+                        return build_stress_cache(self, _key, dvk, rf)
+
+                cache_jit[sig] = jax.jit(_build)
             dev[key].update(cache_jit[sig](dev[key], refd))
         self._jit_eqT = None  # dev pytree changed: retrace
 
@@ -547,6 +552,20 @@ class EqlbEngine:
     ):
         """Semi-explicit fused program on pre-transposed (batch-last) data:
         dpT (n_rhs, 2, ndg, nc), drT (n_rhs, ndg, nc)."""
+        with jax.default_matmul_precision("float32"):
+            return self._equilibrate_impl_T_inner(
+                dpT, drT, facet_kind, bvals, dev, refd, ws_skip,
+                weak_symmetry,
+            )
+
+    def _equilibrate_impl_T_inner(
+        self, dpT, drT, facet_kind, bvals, dev, refd, ws_skip,
+        weak_symmetry,
+    ):
+        # NOTE: full f32 matmul precision is load-bearing — the TPU default
+        # demotes f32 einsum contractions to one bf16 pass, which put a
+        # 2.7e-3 relative error on the equilibrated dofs (measured in
+        # scripts/onchip_accuracy.py before the fix)
         from .semiexplicit import solve_bucket_semiexplicit
         from .stress import weak_symmetry_bucket
 
