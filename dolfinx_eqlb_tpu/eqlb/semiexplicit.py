@@ -253,7 +253,14 @@ def load_moments_bl(engine, key, dprT, dv, refd):
     Fv (n_rhs, n, nkeep, P), Fq (n_rhs, n, ndg, P).
 
     Args: dprT (n_rhs, 3, ndg, nc) — packed [sigma_proj rows 0/1 | rhs] so
-    one gather per bucket fetches all per-cell data."""
+    one gather per bucket fetches all per-cell data.
+
+    Every contraction is an explicit broadcast-multiply-reduce, never a
+    dot_general: the tiny (6x6)-per-batch-point dots pad catastrophically
+    on the MXU (3x slower, measured), and the fused einsum lowering of the
+    6-combo loop additionally MIScompiled one lane tile on this backend
+    (0.018 absolute error at 0.014 data scale vs the f64 NumPy reference;
+    the broadcast form is bit-clean)."""
     dt = engine.dtype
     J = dv["J_bl"]  # (n, 2, 2, P)
     K = dv["K_bl"]
@@ -273,19 +280,44 @@ def load_moments_bl(engine, key, dprT, dv, refd):
     dpg = g[:, :2]  # (n_rhs, 2, ndg, n, P)
     frg = g[:, 2]  # (n_rhs, ndg, n, P)
 
-    dpJ = jnp.einsum("ramcx,cabx->rbmcx", dpg, J)
+    # dpJ[r,b,m,c,x] = sum_a dpg[r,a,m,c,x] * J[c,a,b,x]
+    dpJ = jnp.stack(
+        [
+            dpg[:, 0] * J[:, 0, 0][None, None]
+            + dpg[:, 1] * J[:, 1, 0][None, None],
+            dpg[:, 0] * J[:, 0, 1][None, None]
+            + dpg[:, 1] * J[:, 1, 1][None, None],
+        ],
+        axis=1,
+    )
     Fv = Fq = gpsi = None
     for q in range(6):
         wq = (dv["combo_bl"] == q).astype(dt)  # (n, P)
-        tv = jnp.einsum("rbmcx,mbi,cx->rcix", dpJ, refd["RhatC"][q], wq)
-        tq = jnp.einsum("rmcx,mp,cx->rcpx", frg, refd["T3C"][q], wq)
-        tg = jnp.einsum("cbax,b,cx->cax", K, refd["hatgC"][q], wq)
-        Fv = tv if Fv is None else Fv + tv
-        Fq = tq if Fq is None else Fq + tq
+        Rq = refd["RhatC"][q]  # (m, b, i)
+        tv = jnp.sum(
+            dpJ[:, :, :, :, None, :]
+            * jnp.transpose(Rq, (1, 0, 2))[None, :, :, None, :, None],
+            axis=(1, 2),
+        )  # (r, c, i, x)
+        tq = jnp.sum(
+            frg[:, :, :, None, :]
+            * refd["T3C"][q][None, :, None, :, None],
+            axis=1,
+        )  # (r, c, p, x)
+        hg = refd["hatgC"][q]
+        tg = (K[:, 0] * hg[0] + K[:, 1] * hg[1]) * wq[:, None]  # (c, a, x)
+        tvw = tv * wq[None, :, None]
+        tqw = tq * wq[None, :, None]
+        Fv = tvw if Fv is None else Fv + tvw
+        Fq = tqw if Fq is None else Fq + tqw
         gpsi = tg if gpsi is None else gpsi + tg
     Fv = Fv * sdet[:, None] * signs
-    Fq = Fq + jnp.einsum("cax,rapcx->rcpx", gpsi, dpg)
-    Fq = Fq * adet[:, None]
+    # gradient term: sum_a gpsi[c,a,x] * dpg[r,a,p,c,x]
+    contr = (
+        dpg[:, 0] * gpsi[:, 0][None, None]
+        + dpg[:, 1] * gpsi[:, 1][None, None]
+    )
+    Fq = (Fq + jnp.moveaxis(contr, 1, 2)) * adet[:, None]
     return Fv, Fq
 
 
