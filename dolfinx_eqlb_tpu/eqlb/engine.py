@@ -125,20 +125,29 @@ class EqlbEngine:
         # HBM traffic than XLA's LuDecomposition custom call; "xla": batched
         # jnp.linalg.solve (robust default for f64 CPU testing)
         self.solver = "xla"
+        # every bucket's patch axis ends in >= LANE_PAD pad lanes: under
+        # whole-program fusion pressure this backend sporadically poisons
+        # the LAST (8, 128) lane tile of a large bucket pipeline with NaN
+        # (observed at X = 131072: exactly lanes 130944-131071; the isolated
+        # program is bit-clean).  With a full pad tile at the end the
+        # poisoned lanes are never read back (pad entries scatter to
+        # out-of-bounds dofs / are excluded from the combine tables).
+        LANE_PAD = 128
         self._chunk_target = {}
         if max_patches_per_bucket:
             from dataclasses import replace
 
             C = max_patches_per_bucket
+            stride = C - LANE_PAD  # real patches per chunk; C incl. pad
             split = {}
             for key, b in buckets.items():
                 P = b.npatches
-                if P <= C:
+                if P + LANE_PAD <= C:
                     split[key] = b
                     continue
-                nchunks = -(-P // C)
+                nchunks = -(-P // stride)
                 for i in range(nchunks):
-                    s = slice(i * C, min((i + 1) * C, P))
+                    s = slice(i * stride, min((i + 1) * stride, P))
                     split[key + (i,)] = replace(
                         b,
                         nodes=b.nodes[s],
@@ -148,8 +157,8 @@ class EqlbEngine:
                         entry_loc=b.entry_loc[s],
                         exit_loc=b.exit_loc[s],
                     )
-                    # equal chunk sizes share one compiled executable; the
-                    # last chunk is padded up (pads scatter out of bounds)
+                    # equal chunk sizes share one compiled executable; every
+                    # chunk is padded up to C (pads scatter out of bounds)
                     self._chunk_target[key + (i,)] = C
             buckets = split
         self.buckets = buckets
@@ -165,20 +174,32 @@ class EqlbEngine:
         msh = self.mesh
         from .semiexplicit import se_host_tables, se_static
 
+        # gather per-patch geometry at the compute precision (halves the
+        # host table-build memory traffic for f32 engines)
+        np_dt = np.dtype(self.dtype)
+        J_g = np.ascontiguousarray(msh.J, dtype=np_dt)
+        K_g = np.ascontiguousarray(msh.K, dtype=np_dt)
+        detJ_g = np.ascontiguousarray(msh.detJ, dtype=np_dt)
         for key, b in buckets.items():
             t = bucket_dof_tables(b, V_flux)
             self.se_static[key] = se_static(b, self.k)
             t.update(se_host_tables(b, t, msh, self.k))
             cells64 = b.cells.astype(np.int64)
-            t["J"] = msh.J[cells64]  # (P, n, 2, 2)
-            t["detJ"] = msh.detJ[cells64]
-            t["K"] = msh.K[cells64]
+            t["J"] = J_g[cells64]  # (P, n, 2, 2)
+            t["detJ"] = detJ_g[cells64]
+            t["K"] = K_g[cells64]
             # endpoint of each boundary spoke: is z the lower-global-id end?
             if b.is_boundary:
                 fv = msh.facet_vertices[b.spokes[:, [0, -1]].astype(np.int64)]
                 t["z_is_lo"] = fv[..., 0] == b.nodes[:, None]  # (P, 2)
                 t["bspokes"] = b.spokes[:, [0, -1]].astype(np.int64)  # (P, 2)
-            target = self._chunk_target.get(key, b.npatches)
+            # unchunked buckets: tile-align and append the safety pad tile
+            # (tiny buckets stay exact — their whole extent is one tile)
+            target = self._chunk_target.get(
+                key,
+                b.npatches if b.npatches < 128
+                else -(-(b.npatches + 128) // 128) * 128,
+            )
             if pad_to_multiple:
                 target += (-target) % pad_to_multiple
             if target > b.npatches:
@@ -208,42 +229,56 @@ class EqlbEngine:
         # semi-explicit path instead gathers from the concatenated flat
         # (nflux-major) bucket solutions
         ndofs = self.V.ndofs
-        allg, allidx = [], []
+        total = sum(
+            int(np.prod(self.tables[key]["gdofs"].shape))
+            for key in self.tables
+        )
+        from .. import native
+
+        src = np.full((ndofs, 3), total, dtype=np.int32)  # total = pad slot
+        cur = np.zeros(ndofs, dtype=np.uint8)
+        use_native = native.available()
         off = 0
         self._flat_offsets = {}
         for key in sorted(self.tables.keys()):
             g = self.tables[key]["gdofs"]  # (Ppad, nflux)
             Ppad, nflux = g.shape
             self._flat_offsets[key] = off
-            pp, ff = np.nonzero(g < ndofs)
-            allg.append(g[pp, ff].astype(np.int64))
-            allidx.append(off + ff * Ppad + pp)
+            if use_native:
+                native.combine_fill(ndofs, off, g, src, cur)
+            else:
+                pp, ff = np.nonzero((g >= 0) & (g < ndofs))
+                gd = g[pp, ff].astype(np.int64)
+                idx = off + ff * Ppad + pp
+                # stable (p, f)-order column assignment per dof
+                order = np.argsort(gd, kind="stable")
+                sg, si = gd[order], idx[order]
+                poscol = (
+                    np.arange(len(sg))
+                    - np.searchsorted(sg, sg, side="left")
+                    + cur[sg]
+                )
+                if len(poscol) and poscol.max() > 2:
+                    raise RuntimeError(
+                        "dof with more than 3 patch contributions")
+                src[sg, poscol] = si
+                np.add.at(cur, gd, 1)
             off += Ppad * nflux
-        allg = np.concatenate(allg)
-        allidx = np.concatenate(allidx)
-        order = np.argsort(allg, kind="stable")
-        sg, si = allg[order], allidx[order]
-        start = np.searchsorted(sg, np.arange(ndofs), side="left")
-        poscol = np.arange(len(sg)) - start[sg]
-        if len(poscol) and poscol.max() > 2:
-            raise RuntimeError("dof with more than 3 patch contributions")
-        src = np.full((ndofs, 3), off, dtype=np.int64)  # off = zero pad slot
-        src[sg, poscol] = si
         self._flat_len = off
         # gather-by-128-row layout: fetch full 128-lane rows (bandwidth-bound
         # XLA gather), select lanes in a Pallas epilogue (ops.lane_select);
         # index tables pre-shaped (G, 8, 128, C) for native output tiles
         Lpad = -(-(off + 1) // 128) * 128
         nfk = self.V.mesh.num_facets * self.k
-        assert np.all(src[:nfk, 2] == off), "facet dof with 3 contributors"
+        assert np.all(src[:nfk, 2] == total), "facet dof with 3 contributors"
 
         def shaped(s):
             M, C = s.shape
             pad = (-M) % 1024
             s = np.pad(s, ((0, pad), (0, 0)))  # pads read row 0, sliced away
-            lane = (s % 128).astype(np.int32).reshape(-1, 8, 128, C)
+            lane = (s % 128).reshape(-1, 8, 128, C)
             return (
-                (s // 128).astype(np.int32).reshape(-1),  # pre-flattened
+                (s // 128).reshape(-1),  # pre-flattened
                 np.ascontiguousarray(np.moveaxis(lane, 3, 1)),  # (G,C,8,128)
             )
 
@@ -269,28 +304,30 @@ class EqlbEngine:
         for key, t in self.tables.items():
             b = self.buckets[key]
             cells = t.get("cells", b.cells)
+            # lean upload: only the batch-last tables of the (default) fused
+            # semi-explicit path — the patch axis sits on the TPU lane
+            # dimension, so the tiny element dims never hit the (8, 128)
+            # tile padding.  The batch-major twins (J, perm, gdofs, ...) are
+            # only needed by the legacy KKT / unfused paths and are uploaded
+            # lazily by _ensure_full_tables (halves upload volume and time).
             d = {
-                "J": jnp.asarray(t["J"], dt),
-                "detJ": jnp.asarray(t["detJ"], dt),
-                "K": jnp.asarray(t["K"], dt),
-                "perm": jnp.asarray(t["perm"], iidx),
-                "signs": jnp.asarray(t["signs"], dt),
-                "cells": jnp.asarray(cells, iidx),
-                "lnode": jnp.asarray(t.get("lnode", b.lnode), iidx),
-                "gdofs": jnp.asarray(t["gdofs"], iidx),
-                "lv_hats": jnp.asarray(t["lv_hats"], iidx),
                 "divdiag": jnp.asarray(t["divdiag"], dt),
-                # batch-last tables of the semi-explicit path: the patch axis
-                # sits on the TPU lane dimension, so the tiny element dims
-                # never hit the (8, 128) tile padding
-                "J_bl": jnp.asarray(np.moveaxis(t["J"], 0, -1), dt),
-                "K_bl": jnp.asarray(np.moveaxis(t["K"], 0, -1), dt),
-                "detJ_bl": jnp.asarray(t["detJ"].T, dt),
-                "signs_bl": jnp.asarray(np.moveaxis(t["signs"], 0, -1), dt),
-                "combo_bl": jnp.asarray(t["combo"].T, jnp.int8),
-                "cells_bl": jnp.asarray(cells.T, iidx),
-                "gamma_bl": jnp.asarray(t["gamma"].T, dt),
-                "cumalpha_bl": jnp.asarray(t["cumalpha"].T, dt),
+                "J_bl": jnp.asarray(
+                    np.ascontiguousarray(np.moveaxis(t["J"], 0, -1)), dt),
+                "K_bl": jnp.asarray(
+                    np.ascontiguousarray(np.moveaxis(t["K"], 0, -1)), dt),
+                "detJ_bl": jnp.asarray(
+                    np.ascontiguousarray(t["detJ"].T), dt),
+                "signs_bl": jnp.asarray(
+                    np.ascontiguousarray(np.moveaxis(t["signs"], 0, -1)), dt),
+                "combo_bl": jnp.asarray(
+                    np.ascontiguousarray(t["combo"].T), jnp.int8),
+                "cells_bl": jnp.asarray(
+                    np.ascontiguousarray(cells.T), iidx),
+                "gamma_bl": jnp.asarray(
+                    np.ascontiguousarray(t["gamma"].T), dt),
+                "cumalpha_bl": jnp.asarray(
+                    np.ascontiguousarray(t["cumalpha"].T), dt),
             }
             if b.is_boundary:
                 d["bspokes"] = jnp.asarray(t["bspokes"], iidx)
@@ -300,28 +337,14 @@ class EqlbEngine:
             name: jnp.asarray(arr, dt) for name, arr in self.ref.items()
         }
         refd["hat_grads"] = jnp.asarray(_HAT_GRADS, dt)
-        # combine index tables, in two granularities: one whole-table
-        # segment (fastest gather form, ~5 GB of gathered rows per field at
-        # 1M cells) and <=1536-group cuts (bounds the live intermediate for
-        # multi-field runs).  pick() chooses by n_rhs at trace time.
+        # combine index tables: uploaded once; the fused program slices
+        # <=1536-group segments out of them in-jit (static bounds) when the
+        # whole-table gather's live intermediate would exceed the HBM budget
         for nm in ("01", "2"):
-            rows = self._combine["rows" + nm]
-            lane = self._combine["lane" + nm]
-            G, C = lane.shape[0], lane.shape[1]
-            whole = (jnp.asarray(rows, jnp.int32), jnp.asarray(lane, jnp.int32))
-            refd["seg" + nm + "w"] = (whole,)
-            gseg = 1536
-            if G <= gseg:
-                refd["seg" + nm] = (whole,)
-                continue
-            segl = []
-            for g0 in range(0, G, gseg):
-                g1 = min(g0 + gseg, G)
-                segl.append((
-                    jnp.asarray(rows[g0 * 1024 * C : g1 * 1024 * C], jnp.int32),
-                    jnp.asarray(lane[g0:g1], jnp.int32),
-                ))
-            refd["seg" + nm] = tuple(segl)
+            refd["rows" + nm] = jnp.asarray(self._combine["rows" + nm],
+                                            jnp.int32)
+            refd["lane" + nm] = jnp.asarray(self._combine["lane" + nm],
+                                            jnp.int32)
         from .semiexplicit import (
             combo_tensors, mass_matrices_bl, reduced_system_bl,
         )
@@ -371,6 +394,33 @@ class EqlbEngine:
                 dev[key]["Ainv_bl"] = out[2]
         self._dev, self._ref_dev = dev, refd
         return dev, refd
+
+    def _ensure_full_tables(self):
+        """Upload the batch-major table twins used by the legacy KKT /
+        unfused / reduced-stress paths (the lean default upload carries only
+        the batch-last semi-explicit tables)."""
+        dev, _ = self._device_tables()
+        if any("perm" in d for d in dev.values()):
+            return
+        dt = self.dtype
+        iidx = jnp.int32
+        for key, t in self.tables.items():
+            b = self.buckets[key]
+            cells = t.get("cells", b.cells)
+            dev[key].update({
+                "J": jnp.asarray(t["J"], dt),
+                "detJ": jnp.asarray(t["detJ"], dt),
+                "K": jnp.asarray(t["K"], dt),
+                "perm": jnp.asarray(t["perm"], iidx),
+                "signs": jnp.asarray(t["signs"], dt),
+                "cells": jnp.asarray(cells, iidx),
+                "lnode": jnp.asarray(t.get("lnode", b.lnode), iidx),
+                "gdofs": jnp.asarray(t["gdofs"], iidx),
+                "lv_hats": jnp.asarray(t["lv_hats"], iidx),
+            })
+        # dev pytree structure changed: retrace any captured jits
+        self._jit_eq = None
+        self._jit_eqT = None
 
     def ensure_stress_caches(self):
         """Build the geometry-only weak-symmetry caches (stress KKT matrix
@@ -451,6 +501,19 @@ class EqlbEngine:
                 m = np.zeros(P, dtype=bool)
                 m[: b.npatches] = np.isin(b.nodes, ws_skip_nodes)
                 ws_skip[key] = jnp.asarray(m)
+        on_fused_se = fuse and self.mode == "semiexplicit"
+        if transposed_inputs and not on_fused_se:
+            raise ValueError(
+                "transposed_inputs=True requires the fused semi-explicit "
+                "path (mode='semiexplicit', fuse=True): the batch-major "
+                "fallback would silently mis-gather batch-last arrays"
+            )
+        if ws_skip is not None and not fuse:
+            raise ValueError(
+                "fuse=False does not support ws_skip_nodes (grouped "
+                "deficient patches): the unfused path would solve the "
+                "singular per-patch weak-symmetry systems anyway"
+            )
         if fuse and self.mode == "semiexplicit":
             if weak_symmetry:
                 self.ensure_stress_caches()
@@ -479,6 +542,8 @@ class EqlbEngine:
             jnp.asarray(facet_kind),
             jnp.asarray(bvals, self.dtype),
         )
+        self._ensure_full_tables()  # legacy paths use batch-major tables
+        dev, refd = self._device_tables()
         if not fuse:
             return self._equilibrate_unfused(*args, dev, refd, weak_symmetry)
         if self._jit_eq is None:
@@ -607,17 +672,27 @@ class EqlbEngine:
 
         from ..ops.lane_select import lane_select_sum
 
-        def pick(seglist):
+        def pick(nm):
             # flat-index gather (the TPU backend rejects >2D index arrays),
             # reshaped to the select kernel's (G, 8, 128, C, 128) layout.
-            # The index tables are pre-cut into host-side segments so the
-            # gathered-row intermediate stays bounded (one unsegmented
-            # gather holds n_rhs * 5 GB at 1M cells and OOMs); each segment
-            # keeps the exact op shape class verified NaN-clean
+            # The index tables are sliced in-jit (static bounds) into
+            # <=1536-group segments when needed so the gathered-row
+            # intermediate stays bounded (one unsegmented gather holds
+            # n_rhs * 5 GB at 1M cells and OOMs)
+            rows_all, lane_all = refd["rows" + nm], refd["lane" + nm]
+            G, C = lane_all.shape[0], lane_all.shape[1]
+            if G == 0:  # empty contributor class (e.g. no cell dofs at k=1)
+                return jnp.zeros((n_rhs, 0), flat.dtype)
+            gseg = G
+            if n_rhs * G * 1024 * C * 512 > (6 << 30):
+                gseg = 1536
             segs = []
-            for rows_flat, lane in seglist:
-                G, C = lane.shape[0], lane.shape[1]
-                rg = f2[:, rows_flat].reshape(n_rhs, G, 8, 128, C, 128)
+            for g0 in range(0, G, gseg):
+                g1 = min(g0 + gseg, G)
+                rows_flat = jax.lax.slice_in_dim(
+                    rows_all, g0 * 1024 * C, g1 * 1024 * C)
+                lane = jax.lax.slice_in_dim(lane_all, g0, g1)
+                rg = f2[:, rows_flat].reshape(n_rhs, g1 - g0, 8, 128, C, 128)
                 segs.append(
                     jnp.stack(
                         [lane_select_sum(rg[r], lane) for r in range(n_rhs)]
@@ -626,17 +701,9 @@ class EqlbEngine:
             out = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
             return out.reshape(n_rhs, -1)
 
-        def choose(nm):
-            whole = refd["seg" + nm + "w"]
-            rows, lane = whole[0]
-            G, C = lane.shape[0], lane.shape[1]
-            if n_rhs * G * 1024 * C * 512 <= (6 << 30):
-                return whole
-            return refd["seg" + nm]
-
         ndofs = self.V.ndofs
-        x = pick(choose("01"))[:, :ndofs]
-        tail = pick(choose("2"))[:, : ndofs - cm["nfk"]]
+        x = pick("01")[:, :ndofs]
+        tail = pick("2")[:, : ndofs - cm["nfk"]]
         return x.at[:, cm["nfk"] :].add(tail)
 
     # -------------------------------------------------------------------------

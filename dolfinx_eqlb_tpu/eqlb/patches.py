@@ -270,7 +270,7 @@ def bucket_dof_tables(bucket: PatchBucket, V_flux: FunctionSpace):
     nkeep = 2 * k + kk1
 
     # canonical -> element-local dof indices
-    perm = np.empty((P, n, nkeep), dtype=np.int64)
+    perm = np.empty((P, n, nkeep), dtype=np.int32)
     for m in range(k):
         perm[:, :, m] = bucket.entry_loc * k + m
         perm[:, :, k + m] = bucket.exit_loc * k + m
@@ -289,13 +289,14 @@ def bucket_dof_tables(bucket: PatchBucket, V_flux: FunctionSpace):
 
     # global dofs of the patch flux unknowns: spokes then cell blocks
     gd_spokes = (
-        bucket.spokes.astype(np.int64)[:, :, None] * k + np.arange(k)[None, None, :]
+        bucket.spokes.astype(np.int32)[:, :, None] * k
+        + np.arange(k, dtype=np.int32)[None, None, :]
     ).reshape(P, ns * k)
     nf = V_flux.mesh.num_facets
     gd_cells = (
-        nf * k
-        + bucket.cells.astype(np.int64)[:, :, None] * kk1
-        + np.arange(kk1)[None, None, :]
+        np.int32(nf * k)
+        + bucket.cells.astype(np.int32)[:, :, None] * kk1
+        + np.arange(kk1, dtype=np.int32)[None, None, :]
     ).reshape(P, n * kk1)
     gdofs = np.concatenate([gd_spokes, gd_cells], axis=1)
 

@@ -53,6 +53,11 @@ def _load():
                 _i32, _i32, _i32, _i64, _i32, _u8, _i64,
                 _i32, _i32, _i32, _i32, _i32,
             ]
+            lib.combine_fill.restype = ctypes.c_int
+            lib.combine_fill.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, _i32, _i32, _u8,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -80,6 +85,23 @@ def build_facets(cells: np.ndarray, nv: int):
     if nf < 0:
         raise ValueError("non-manifold mesh: facet shared by > 2 cells")
     return fv[:nf].copy(), cf, fc[:nf].copy(), fl[:nf].copy()
+
+
+def combine_fill(ndofs: int, off: int, gdofs: np.ndarray,
+                 src: np.ndarray, cur: np.ndarray) -> bool:
+    """Native combine-table fill for one bucket (see topology.cpp); returns
+    False when the library is unavailable (caller falls back to NumPy)."""
+    lib = _load()
+    if lib is None:
+        return False
+    Ppad, nflux = gdofs.shape
+    rc = lib.combine_fill(
+        ndofs, Ppad, nflux, off,
+        np.ascontiguousarray(gdofs, dtype=np.int32), src, cur,
+    )
+    if rc != 0:
+        raise RuntimeError("dof with more than 3 patch contributions")
+    return True
 
 
 def walk_patches(msh, counts: np.ndarray, nmax: int):

@@ -110,4 +110,26 @@ int walk_patches(int64_t nv, int64_t nf, int64_t nmax,
   return 0;
 }
 
+// Combine-table fill for one patch bucket: for every global dof, record the
+// flat positions of its (<= 3) patch contributions.  gdofs (Ppad, nflux)
+// int32 (out-of-range entries are padding); flat position of entry (p, f) is
+// off + f * Ppad + p (nflux-major bucket layout).  src (ndofs, 3) must be
+// pre-filled with the zero-pad slot; cur (ndofs) zero-initialised carries
+// the per-dof column cursor across buckets.  Returns -1 if any dof exceeds
+// 3 contributors.
+int combine_fill(int64_t ndofs, int64_t Ppad, int64_t nflux, int64_t off,
+                 const int32_t* gdofs, int32_t* src, uint8_t* cur) {
+  for (int64_t p = 0; p < Ppad; ++p) {
+    const int32_t* row = gdofs + p * nflux;
+    for (int64_t f = 0; f < nflux; ++f) {
+      int64_t d = row[f];
+      if (d >= 0 && d < ndofs) {
+        if (cur[d] >= 3) return -1;
+        src[3 * d + cur[d]++] = static_cast<int32_t>(off + f * Ppad + p);
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

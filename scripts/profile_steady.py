@@ -131,27 +131,25 @@ def main(n=500, k=2):
 
         f2 = flat.reshape(n_rhs, -1, 128)
 
-        def pick(seglist):
+        def pick(nm):
+            rows_all, lane_all = refd["rows" + nm], refd["lane" + nm]
+            G, C = lane_all.shape[0], lane_all.shape[1]
+            gseg = G if n_rhs * G * 1024 * C * 512 <= (6 << 30) else 1536
             segs = []
-            for rows_flat, lane in seglist:
-                G, C = lane.shape[0], lane.shape[1]
-                rg = f2[:, rows_flat].reshape(n_rhs, G, 8, 128, C, 128)
+            for g0 in range(0, G, gseg):
+                g1 = min(g0 + gseg, G)
+                rows_flat = jax.lax.slice_in_dim(
+                    rows_all, g0 * 1024 * C, g1 * 1024 * C)
+                lane = jax.lax.slice_in_dim(lane_all, g0, g1)
+                rg = f2[:, rows_flat].reshape(n_rhs, g1 - g0, 8, 128, C, 128)
                 segs.append(jnp.stack(
                     [lane_select_sum(rg[r], lane) for r in range(n_rhs)]))
             out = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
             return out.reshape(n_rhs, -1)
 
-        def choose(nm):
-            whole = refd["seg" + nm + "w"]
-            rows, lane = whole[0]
-            G, C = lane.shape[0], lane.shape[1]
-            if n_rhs * G * 1024 * C * 512 <= (6 << 30):
-                return whole
-            return refd["seg" + nm]
-
         ndofs = V.ndofs
-        x = pick(choose("01"))[:, :ndofs]
-        tail = pick(choose("2"))[:, : ndofs - cm["nfk"]]
+        x = pick("01")[:, :ndofs]
+        tail = pick("2")[:, : ndofs - cm["nfk"]]
         return x.at[:, cm["nfk"]:].add(tail)
 
     jc = jax.jit(seg_combine)
