@@ -101,26 +101,24 @@ def check_jump_condition_per_facet(
     k = sigma_eq.space.degree
     s = np.linspace(0.0, 1.0, k + 4)[1:-1]
     pts_e = facet_param_points(s)
-    vals = [np.asarray(sig.evaluate(pts_e[e])) for e in range(3)]  # (nc,nq,2)
-    scale = float(max(np.max(np.abs(v)) for v in vals)) + 1.0
-    ok = True
-    for f in range(msh.num_facets):
-        c1 = msh.facet_cells[f, 1]
-        if c1 < 0:
-            continue
-        c0 = msh.facet_cells[f, 0]
-        T = msh.facet_tangent[f]
-        rotT = np.array([T[1], -T[0]]) / np.linalg.norm(T)
-        tr = []
-        for c, side in ((c0, 0), (c1, 1)):
-            e = msh.facet_local[f, side]
-            v = vals[e][c]
-            if not msh.edge_aligned[c, e]:
-                v = v[::-1]
-            tr.append(v @ rotT)
-        if not np.allclose(tr[0], tr[1], atol=atol * scale):
-            ok = False
-    return ok
+    # (3, nc, nq, 2): flux values on each local edge's parameter lattice
+    V = np.stack([np.asarray(sig.evaluate(pts_e[e])) for e in range(3)])
+    scale = float(np.max(np.abs(V))) + 1.0
+    fint = np.where(msh.facet_cells[:, 1] >= 0)[0]
+    if len(fint) == 0:
+        return True
+    T = msh.facet_tangent[fint]
+    rotT = np.stack([T[:, 1], -T[:, 0]], axis=1)
+    rotT /= np.linalg.norm(rotT, axis=1, keepdims=True)
+    traces = []
+    for side in (0, 1):
+        c = msh.facet_cells[fint, side]
+        e = msh.facet_local[fint, side]
+        v = V[e, c]  # (nfint, nq, 2)
+        rev = ~msh.edge_aligned[c, e]
+        v = np.where(rev[:, None, None], v[:, ::-1], v)
+        traces.append(np.einsum("fqa,fa->fq", v, rotT))
+    return bool(np.allclose(traces[0], traces[1], atol=atol * scale))
 
 
 def check_boundary_conditions(

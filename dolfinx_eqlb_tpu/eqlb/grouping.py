@@ -65,6 +65,33 @@ def build_groups(engine, facet_kind2: np.ndarray):
             )
         partner_of.setdefault(partner, []).append(int(z))
     groups = [[p] + zs for p, zs in partner_of.items()]
+
+    # merge groups whose constraint-node neighbourhoods intersect: group A's
+    # correction perturbs the residual moments Lmom[v] exactly for the
+    # vertices v of A's member-patch cells, so two groups sharing such a
+    # vertex must be solved as one joint system (sequential solves would use
+    # stale residuals and invalidate each other's enforced constraints)
+    def neighborhood(g):
+        nodes = set()
+        for z in g:
+            for c in mesh.vertex_cells(int(z)):
+                nodes.update(int(v) for v in mesh.cells[c])
+        return nodes
+
+    hoods = [neighborhood(g) for g in groups]
+    merged = True
+    while merged:
+        merged = False
+        for i in range(len(groups)):
+            for j in range(i + 1, len(groups)):
+                if hoods[i] & hoods[j]:
+                    groups[i] = groups[i] + groups[j]
+                    hoods[i] |= hoods[j]
+                    del groups[j], hoods[j]
+                    merged = True
+                    break
+            if merged:
+                break
     skip = np.array(sorted({v for g in groups for v in g}), dtype=np.int64)
     return groups, skip
 
@@ -93,25 +120,36 @@ def grouped_weak_symmetry(engine, x, facet_kind2, groups):
 
     x = np.asarray(x).copy()
 
-    # global P1 antisymmetry moments L_n = (sigma_R01 - sigma_R10, hat_n):
-    # after the per-patch corrections every NON-member patch's contribution
-    # to L_n vanishes by its own constraint, so L restricted to a group's
+    # P1 antisymmetry moments L_n = (sigma_R01 - sigma_R10, hat_n): after
+    # the per-patch corrections every NON-member patch's contribution to
+    # L_n vanishes by its own constraint, so L restricted to a group's
     # nodes IS that group's residual (the projected stress is pointwise
-    # symmetric and drops out).  Integrated globally — a union-cells-only
-    # integral would pick up non-member contributions that cancel only over
-    # their full patches.
+    # symmetric and drops out).  hat_n is supported on patch(n) only, so
+    # the exact moments for the groups' constraint nodes need just the
+    # one-ring extension of the member-patch cells — the pass is local
+    # (O(group neighbourhood)), independent of mesh size.
+    need_nodes = set()
+    for g in groups:
+        for z in g:
+            for c in mesh.vertex_cells(int(z)):
+                need_nodes.update(int(v) for v in mesh.cells[c])
+    loc_cells = np.unique(np.concatenate(
+        [mesh.vertex_cells(v) for v in sorted(need_nodes)]
+    )).astype(np.int64)
+
     pts, w = gauss_triangle(2 * k + 2)
     el = engine.V.element
     tab = el.tabulate(pts)  # (nrt, 2, nq)
     hat = np.stack([1 - pts[:, 0] - pts[:, 1], pts[:, 0], pts[:, 1]])
-    cd_all = engine.V.cell_dofs.astype(np.int64)
-    gath = x[:, cd_all] * engine.V.dof_signs[None]
+    cd_loc = engine.V.cell_dofs[loc_cells].astype(np.int64)
+    gath = x[:, cd_loc] * engine.V.dof_signs[None, loc_cells]
     ref = np.einsum("rcd,daq->rcqa", gath, tab)
-    phys = np.einsum("cab,rcqb->rcqa", mesh.J, ref) / mesh.detJ[None, :, None, None]
-    asym = phys[0, :, :, 1] - phys[1, :, :, 0]  # (nc, nq)
-    be = np.einsum("q,cq,lq,c->cl", w, asym, hat, np.abs(mesh.detJ))
+    J_loc, detJ_loc = mesh.J[loc_cells], mesh.detJ[loc_cells]
+    phys = np.einsum("cab,rcqb->rcqa", J_loc, ref) / detJ_loc[None, :, None, None]
+    asym = phys[0, :, :, 1] - phys[1, :, :, 0]  # (nloc, nq)
+    be = np.einsum("q,cq,lq,c->cl", w, asym, hat, np.abs(detJ_loc))
     Lmom = np.zeros(mesh.num_vertices)
-    np.add.at(Lmom, mesh.cells.reshape(-1), be.reshape(-1))
+    np.add.at(Lmom, mesh.cells[loc_cells].reshape(-1), be.reshape(-1))
 
     for group in groups:
         members = []

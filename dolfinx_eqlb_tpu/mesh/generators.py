@@ -160,7 +160,10 @@ def unit_square_unstructured(n: int, seed: int = 0) -> TriMesh:
             ln = int(np.where(msh.cells[c] == z)[0][0])
             outer.append(int(msh.cell_facets[c, ln]))
         msh = refine_facets(msh, np.unique(outer))
-    else:
+    # recheck after the final iteration: the 4th refine_facets call may
+    # itself have repaired every remaining 1-cell patch
+    counts = msh.v2c_offsets[1:] - msh.v2c_offsets[:-1]
+    if np.any(msh.is_boundary_vertex & (counts == 1)):
         raise RuntimeError("could not repair 1-cell boundary patches")
     return msh
 
