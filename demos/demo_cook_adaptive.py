@@ -5,6 +5,12 @@ edge, traction (0, 1/16) on the right edge, guaranteed estimator driving
 Doerfler marking + bisection refinement.
 """
 
+import os as _os
+import sys as _sys
+
+# self-locate: make `python demos/<demo>.py` work without PYTHONPATH
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -9,6 +9,12 @@ u = r^gamma mu(theta) has a severe singularity at the origin
 estimator + Doerfler marking recovers the optimal adaptive rate.
 """
 
+import os as _os
+import sys as _sys
+
+# self-locate: make `python demos/<demo>.py` work without PYTHONPATH
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

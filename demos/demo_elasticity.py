@@ -14,6 +14,12 @@ and reports the guaranteed bound and its efficiency index vs the energy
 error (reference ``demo_error_estimation.py:185-208``).
 """
 
+import os as _os
+import sys as _sys
+
+# self-locate: make `python demos/<demo>.py` work without PYTHONPATH
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

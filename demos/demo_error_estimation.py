@@ -5,6 +5,12 @@ refinement series, equilibrated Ern-Vohralik estimator, true H1 error,
 convergence rates and efficiency index, CSV output.
 """
 
+import os as _os
+import sys as _sys
+
+# self-locate: make `python demos/<demo>.py` work without PYTHONPATH
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

@@ -2,6 +2,12 @@
 ``demo/projection/demo_local_projection.py``): project two non-polynomial
 functions into DG2 and report the projection residuals."""
 
+import os as _os
+import sys as _sys
+
+# self-locate: make `python demos/<demo>.py` work without PYTHONPATH
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 

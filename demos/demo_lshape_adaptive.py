@@ -6,6 +6,12 @@ exact solution), equilibrated-estimator driven Doerfler marking and
 longest-edge-bisection refinement down to a target energy error.
 """
 
+import os as _os
+import sys as _sys
+
+# self-locate: make `python demos/<demo>.py` work without PYTHONPATH
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 
 import numpy as np

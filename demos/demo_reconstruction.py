@@ -9,6 +9,12 @@ Run:  PYTHONPATH=<repo> python demo_reconstruction.py [--eqlb SE|EV]
       [--degree k] [--bc dirichlet|neumann_hom|neumann_inhom] [--n 10]
 """
 
+import os as _os
+import sys as _sys
+
+# self-locate: make `python demos/<demo>.py` work without PYTHONPATH
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import time
 
@@ -99,6 +105,36 @@ def solve_and_equilibrate(msh, order_prime, order_eqlb, bc_type, Equilibrator,
     return uh, sigma_proj[0], eq
 
 
+def write_output(outdir, msh, uh, sigma_proj, eq):
+    """XDMF/VTU export for ParaView (reference
+    ``demo/poisson/demo_reconstruction.py:534-540``)."""
+    import os
+
+    from dolfinx_eqlb_tpu.fem.expressions import as_expr
+    from dolfinx_eqlb_tpu.utils import (
+        flux_cell_values, write_vtu, write_xdmf,
+    )
+
+    os.makedirs(outdir, exist_ok=True)
+    # vertex values of the primal solution: corner evaluation, scatter-mean
+    corners = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    uv = np.asarray(as_expr(uh).evaluate(corners))  # (nc, 3)
+    num = np.zeros(msh.num_vertices)
+    cnt = np.zeros(msh.num_vertices)
+    np.add.at(num, msh.cells.reshape(-1), uv.reshape(-1))
+    np.add.at(cnt, msh.cells.reshape(-1), 1.0)
+    point_data = {"u": num / np.maximum(cnt, 1.0)}
+    cell_data = {
+        "sigma_proj": flux_cell_values(sigma_proj),
+        "sigma_R": flux_cell_values(eq.list_flux[0], sigma_proj),
+    }
+    write_xdmf(os.path.join(outdir, "reconstruction.xdmf"), msh,
+               point_data, cell_data)
+    write_vtu(os.path.join(outdir, "reconstruction.vtu"), msh,
+              point_data, cell_data)
+    print(f"ParaView output written to {outdir}/reconstruction.{{xdmf,vtu}}")
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--eqlb", default="SE", choices=["SE", "EV"])
@@ -108,10 +144,14 @@ if __name__ == "__main__":
                    choices=["dirichlet", "neumann_hom", "neumann_inhom"])
     p.add_argument("--n", type=int, default=10)
     p.add_argument("--reversed-mesh", action="store_true")
+    p.add_argument("--outdir", default=None,
+                   help="write XDMF/VTU ParaView output to this directory")
     a = p.parse_args()
 
     msh = unit_square(a.n)
     if a.reversed_mesh:
         msh = permute_vertices(msh, seed=1)
     Eq = FluxEqlbSE if a.eqlb == "SE" else FluxEqlbEV
-    solve_and_equilibrate(msh, a.order_prime, a.degree, a.bc, Eq)
+    uh, sp, eq = solve_and_equilibrate(msh, a.order_prime, a.degree, a.bc, Eq)
+    if a.outdir:
+        write_output(a.outdir, msh, uh, sp, eq)
