@@ -160,11 +160,48 @@ def run(n=8, order_prime=2, degree=2, check=True, formulation="u"):
     return eta, comps, err
 
 
+def study(ns, order_prime, degree, formulation, outfile):
+    """Refinement convergence study: eta components, energy error, I_eff per
+    level, written as CSV (reference ``demo_error_estimation.py:185-208``
+    and the committed Poisson ConvStudy CSV)."""
+    import csv
+
+    rows_out = []
+    for n in ns:
+        eta, comps, err = run(n, order_prime, degree, check=False,
+                              formulation=formulation)
+        rows_out.append([n, 1.0 / n, eta, comps[0], comps[1], comps[2],
+                         err, eta / err])
+    with open(outfile, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["n", "h", "eta", "eta_sig", "eta_wsym", "eta_osc",
+                    "energy_error", "I_eff"])
+        w.writerows(rows_out)
+    print(f"\n{'n':>4} {'eta':>11} {'eta_sig':>11} {'eta_wsym':>11} "
+          f"{'err':>11} {'I_eff':>8} {'rate(err)':>9}")
+    for i, r in enumerate(rows_out):
+        rate = (np.log(rows_out[i - 1][6] / r[6]) / np.log(2.0)
+                if i else float("nan"))
+        print(f"{r[0]:>4} {r[2]:>11.4e} {r[3]:>11.4e} {r[4]:>11.4e} "
+              f"{r[6]:>11.4e} {r[7]:>8.3f} {rate:>9.2f}")
+    print(f"study written to {outfile}")
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=8)
     p.add_argument("--order-prime", type=int, default=2)
     p.add_argument("--degree", type=int, default=2)
     p.add_argument("--formulation", choices=["u", "up"], default="u")
+    p.add_argument("--study", action="store_true",
+                   help="run the n = 4..32 refinement study, write CSV")
+    p.add_argument("--outfile", default=None)
     a = p.parse_args()
-    run(a.n, a.order_prime, a.degree, formulation=a.formulation)
+    if a.study:
+        out = a.outfile or (
+            f"ConvStudyElasticity-{a.formulation}_porder-{a.order_prime}"
+            f"_eorder-{a.degree}.csv"
+        )
+        study((4, 8, 16, 32), a.order_prime, a.degree, a.formulation, out)
+    else:
+        run(a.n, a.order_prime, a.degree, formulation=a.formulation)
