@@ -266,32 +266,72 @@ class EqlbEngine:
             off += Ppad * nflux
         self._flat_len = off
         # gather-by-128-row layout: fetch full 128-lane rows (bandwidth-bound
-        # XLA gather), select lanes in a Pallas epilogue (ops.lane_select);
-        # index tables pre-shaped (G, 8, 128, C) for native output tiles
-        Lpad = -(-(off + 1) // 128) * 128
+        # XLA gather), select lanes in a Pallas epilogue (ops.lane_select).
+        # The TPU gather is INDEX-RATE-bound (~100-200M idx/s, measured
+        # locality-independent), so for n_rhs > 1 the combine switches to a
+        # batched element gather on (n_rhs, L): one index fetches the column
+        # for every RHS at the same per-index cost as one (measured: a
+        # (3, 12M)[:, 10M-idx] gather costs the same 107 ms as 1-RHS)
         nfk = self.V.mesh.num_facets * self.k
         assert np.all(src[:nfk, 2] == total), "facet dof with 3 contributors"
-
-        def shaped(s):
-            M, C = s.shape
-            pad = (-M) % 1024
-            s = np.pad(s, ((0, pad), (0, 0)))  # pads read row 0, sliced away
-            lane = (s % 128).reshape(-1, 8, 128, C)
-            return (
-                (s // 128).reshape(-1),  # pre-flattened
-                np.ascontiguousarray(np.moveaxis(lane, 3, 1)),  # (G,C,8,128)
-            )
-
-        rows01, lane01 = shaped(src[:, :2])
-        rows2, lane2 = shaped(src[nfk:, 2:])
+        rows01, lane01 = self._shaped_tables(src[:, :2])
+        rows2, lane2 = self._shaped_tables(src[nfk:, 2:])
         self._combine = dict(
-            Lpad=Lpad, nfk=nfk, rows01=rows01, lane01=lane01,
+            Lpad=self._lpad(), nfk=nfk, rows01=rows01, lane01=lane01,
             rows2=rows2, lane2=lane2,
+            src01=src[:, :2].copy(), src2=src[nfk:, 2:].copy(), total=total,
         )
 
         self._dev = None
         self._ref_dev = None
         self._jit_eq = None
+        self._have_elem_combine = False
+        self._packed_R = set()
+
+    def _lpad(self, R: int = 1) -> int:
+        """Padded flat-position count of the R-packed layout: positions per
+        128-lane row is W = 128 // R; the pad slot (index ``total``) must be
+        addressable (and read zero)."""
+        W = 128 // R
+        return -(-(self._flat_len + 1) // W) * W
+
+    def _shaped_tables(self, s, R: int = 1):
+        """(rows_flat, lane) combine index tables for the R-packed flat
+        layout: flat element of (position p, rhs r) lives at row p // W,
+        lane (p % W) * R + r with W = 128 // R."""
+        W = 128 // R
+        M, C = s.shape
+        pad = (-M) % 1024
+        s = np.pad(s, ((0, pad), (0, 0)))  # pads read row 0, sliced away
+        lane = ((s % W) * R).reshape(-1, 8, 128, C)
+        return (
+            (s // W).reshape(-1).astype(np.int32),  # pre-flattened
+            np.ascontiguousarray(np.moveaxis(lane, 3, 1)).astype(np.int32),
+        )
+
+    def _ensure_combine_tables(self, n_rhs: int):
+        """Upload the extra combine index tables the n_rhs > 1 paths need
+        (lazy).  n_rhs == 2 uses the R=2 lane-packed row gather; n_rhs >= 3
+        uses the batched element gather."""
+        if n_rhs <= 1:
+            return
+        _, refd = self._device_tables()
+        cm = self._combine
+        if n_rhs == 2:
+            if 2 in self._packed_R:
+                return
+            for nm in ("01", "2"):
+                rows, lane = self._shaped_tables(cm["src" + nm], 2)
+                refd[f"rows{nm}R2"] = jnp.asarray(rows, jnp.int32)
+                refd[f"lane{nm}R2"] = jnp.asarray(lane, jnp.int32)
+            self._packed_R.add(2)
+            return
+        if self._have_elem_combine:
+            return
+        refd["elem_c0"] = jnp.asarray(cm["src01"][:, 0], jnp.int32)
+        refd["elem_c1"] = jnp.asarray(cm["src01"][:, 1], jnp.int32)
+        refd["elem_c2"] = jnp.asarray(cm["src2"][:, 0], jnp.int32)
+        self._have_elem_combine = True
 
     # --- device-resident tables (passed as jit *arguments*) -----------------
 
@@ -517,6 +557,8 @@ class EqlbEngine:
         if fuse and self.mode == "semiexplicit":
             if weak_symmetry:
                 self.ensure_stress_caches()
+            n_rhs = sigma_proj_dofs.shape[0]
+            self._ensure_combine_tables(n_rhs)
             # transpose to batch-last on the host when possible: a device
             # transpose reads the tile-padded batch-major layout (0.65 GB
             # for a 160k-cell mesh's 15 MB of data)
@@ -636,10 +678,27 @@ class EqlbEngine:
 
         n_rhs = dpT.shape[0]
         dprT = jnp.concatenate([dpT, drT[:, None]], axis=1)
+        # cell-major copy of the per-cell dof data, shared by every bucket's
+        # row gather (see load_moments_bl).  Padded to exactly 128 lanes:
+        # XLA only lowers the gather as a vectorized full-tile row fetch
+        # when the source minor dim is the native 128-lane tile (measured:
+        # the 27-lane form runs at the same 14 ns/element as the old
+        # minor-axis gather)
+        nc = dprT.shape[-1]
+        w = dprT.shape[1] * dprT.shape[2] * n_rhs
+        # n_rhs == 1 keeps the minor-axis gather: 9 source rows stay under
+        # the slow-lowering threshold and measure 44 ms vs 64 ms packed
+        if 1 < n_rhs and w <= 128:
+            src_packed = jnp.moveaxis(dprT.reshape(-1, nc), 0, 1)
+            src_packed = jnp.pad(src_packed, ((0, 0), (0, 128 - w)))
+            src_packed = jax.lax.optimization_barrier(src_packed)
+        else:
+            src_packed = None
         flats = []
         for key in sorted(self.buckets.keys()):
             sol_bl = solve_bucket_semiexplicit(
-                self, key, dprT, facet_kind, bvals, dev[key], refd
+                self, key, dprT, facet_kind, bvals, dev[key], refd,
+                src_packed=src_packed,
             )
             # fusion fence: under whole-program fusion pressure this backend
             # miscompiles one lane tile of the bucket pipeline to NaN (the
@@ -666,42 +725,100 @@ class EqlbEngine:
                     sol_bl = sol_bl.at[:2].add(jnp.moveaxis(delta, 1, -1))
             flats.append(sol_bl.reshape(n_rhs, -1))
         flat = jnp.concatenate(flats, axis=1)
+        return self._combine_flat(flat, refd)
+
+    def _combine_flat(self, flat, refd):
+        """Global accumulation of the concatenated flat bucket solutions
+        (n_rhs, L) -> (n_rhs, ndofs).
+
+        Three measured-fastest paths (TPU gathers are INDEX-RATE-bound,
+        ~100-200M idx/s, locality-dependent):
+        * n_rhs == 1 — row gather + Pallas lane select (row fetches process
+          ~2x the indices/s of element gathers);
+        * n_rhs == 2 — same row gather on the R=2 lane-packed layout (2 RHS
+          per 128-lane row at only 2x source-locality dilution);
+        * n_rhs >= 3 — three batched element gathers on (n_rhs, Lpad): the
+          gather unit fetches the whole RHS column per index, so the cost is
+          n_rhs-independent (measured 102 ms for (3, 12M) vs 107 ms for
+          (12M,) at 10M indices; an R=4 packed row layout dilutes source
+          locality 4x and loses)."""
+        n_rhs = flat.shape[0]
         cm = self._combine
+        ndofs = self.V.ndofs
+
+        if n_rhs >= 3:
+            flat = jnp.pad(flat, ((0, 0), (0, cm["Lpad"] - flat.shape[1])))
+            gA = flat[:, refd["elem_c0"]]
+            gB = flat[:, refd["elem_c1"]]
+            g2 = flat[:, refd["elem_c2"]]
+            x = gA + gB
+            return x.at[:, cm["nfk"] :].add(g2)
+
+        from ..ops.lane_select import lane_select_multi, lane_select_sum
+
+        if n_rhs == 2:
+            Lpos = self._lpad(2)
+            flat = jnp.pad(flat, ((0, 0), (0, Lpos - flat.shape[1])))
+            fT = jnp.moveaxis(flat, 0, 1)  # (Lpos, 2)
+            f2p = fT.reshape(-1, 128)  # 64 positions * 2 lanes per row
+
+            def pick2(nm):
+                rows_all = refd["rows" + nm + "R2"]
+                lane_all = refd["lane" + nm + "R2"]
+                G, C = lane_all.shape[0], lane_all.shape[1]
+                if G == 0:
+                    return jnp.zeros((n_rhs, 0), flat.dtype)
+                gseg = G
+                if G * 1024 * C * 512 > (6 << 30):
+                    gseg = 4096
+                segs = []
+                for g0 in range(0, G, gseg):
+                    g1 = min(g0 + gseg, G)
+                    rows_flat = jax.lax.slice_in_dim(
+                        rows_all, g0 * 1024 * C, g1 * 1024 * C)
+                    lane = jax.lax.slice_in_dim(lane_all, g0, g1)
+                    rg = f2p[rows_flat].reshape(g1 - g0, 8, 128, C, 128)
+                    segs.append(lane_select_multi(rg, lane, 2))
+                out = (segs[0] if len(segs) == 1
+                       else jnp.concatenate(segs, axis=1))
+                return out.reshape(n_rhs, -1)
+
+            x = pick2("01")[:, :ndofs]
+            tail = pick2("2")[:, : ndofs - cm["nfk"]]
+            return x.at[:, cm["nfk"] :].add(tail)
+
         flat = jnp.pad(flat, ((0, 0), (0, cm["Lpad"] - flat.shape[1])))
         f2 = flat.reshape(n_rhs, -1, 128)
-
-        from ..ops.lane_select import lane_select_sum
 
         def pick(nm):
             # flat-index gather (the TPU backend rejects >2D index arrays),
             # reshaped to the select kernel's (G, 8, 128, C, 128) layout.
             # The index tables are sliced in-jit (static bounds) into
-            # <=1536-group segments when needed so the gathered-row
-            # intermediate stays bounded (one unsegmented gather holds
-            # n_rhs * 5 GB at 1M cells and OOMs)
-            rows_all, lane_all = refd["rows" + nm], refd["lane" + nm]
+            # bounded segments when needed so the gathered-row intermediate
+            # stays bounded (one unsegmented gather holds ~5 GB at 1M cells
+            # and OOMs)
+            rows_all = refd["rows" + nm]
+            lane_all = refd["lane" + nm]
             G, C = lane_all.shape[0], lane_all.shape[1]
             if G == 0:  # empty contributor class (e.g. no cell dofs at k=1)
                 return jnp.zeros((n_rhs, 0), flat.dtype)
             gseg = G
-            if n_rhs * G * 1024 * C * 512 > (6 << 30):
-                gseg = 1536
+            if G * 1024 * C * 512 > (6 << 30):
+                gseg = 4096
             segs = []
             for g0 in range(0, G, gseg):
                 g1 = min(g0 + gseg, G)
                 rows_flat = jax.lax.slice_in_dim(
                     rows_all, g0 * 1024 * C, g1 * 1024 * C)
                 lane = jax.lax.slice_in_dim(lane_all, g0, g1)
-                rg = f2[:, rows_flat].reshape(n_rhs, g1 - g0, 8, 128, C, 128)
-                segs.append(
-                    jnp.stack(
-                        [lane_select_sum(rg[r], lane) for r in range(n_rhs)]
-                    )
-                )
+                rg = f2[:, rows_flat].reshape(
+                    n_rhs, g1 - g0, 8, 128, C, 128)
+                segs.append(jnp.stack(
+                    [lane_select_sum(rg[r], lane) for r in range(n_rhs)]
+                ))
             out = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
             return out.reshape(n_rhs, -1)
 
-        ndofs = self.V.ndofs
         x = pick("01")[:, :ndofs]
         tail = pick("2")[:, : ndofs - cm["nfk"]]
         return x.at[:, cm["nfk"] :].add(tail)

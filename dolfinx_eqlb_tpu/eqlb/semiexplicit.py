@@ -248,12 +248,16 @@ def mass_matrices_bl(engine, key, dv, refd):
     return Mc * signs[:, :, None] * signs[:, None, :]
 
 
-def load_moments_bl(engine, key, dprT, dv, refd):
+def load_moments_bl(engine, key, dprT, dv, refd, src_packed=None):
     """Data-dependent canonical load moments, batch-last:
     Fv (n_rhs, n, nkeep, P), Fq (n_rhs, n, ndg, P).
 
     Args: dprT (n_rhs, 3, ndg, nc) — packed [sigma_proj rows 0/1 | rhs] so
-    one gather per bucket fetches all per-cell data.
+    one gather per bucket fetches all per-cell data.  ``src_packed``
+    (nc, n_rhs*3*ndg) is the same data CELL-MAJOR: a row gather then fetches
+    all of a cell's dof data in one 512-byte HBM granule instead of one
+    granule per scalar (the minor-axis gather measured 44 ms/RHS at 1M
+    cells — 77% of the whole bucket-solve time).
 
     Every contraction is an explicit broadcast-multiply-reduce, never a
     dot_general: the tiny (6x6)-per-batch-point dots pad catastrophically
@@ -269,14 +273,21 @@ def load_moments_bl(engine, key, dprT, dv, refd):
     adet = jnp.abs(detJ)
     sdet = jnp.sign(detJ)
 
-    # 2D-source lane gather: a >=3D source makes XLA materialize the output
-    # with the patch-cell axis minor and the tiny data dims tile-padded
-    # 28x (OOM at 1M cells); the flattened (r*3*ndg, nc) form pads only
-    # 9 -> 16 sublanes and is ~1.5x faster
     n_rhs, _, ndg, nc = dprT.shape
     cb = dv["cells_bl"]  # (n, P)
-    g = dprT.reshape(n_rhs * 3 * ndg, nc)[:, cb.reshape(-1)]
-    g = g.reshape(n_rhs, 3, ndg, cb.shape[0], cb.shape[1])
+    if src_packed is not None:
+        # cell-major row gather: one 512 B granule per patch-cell instance
+        # (source is 128-lane padded; slice back to the logical width)
+        rows = src_packed[cb.reshape(-1)][:, : n_rhs * 3 * ndg]
+        g = jnp.moveaxis(rows, -1, 0).reshape(
+            n_rhs, 3, ndg, cb.shape[0], cb.shape[1])
+    else:
+        # 2D-source lane gather fallback (batch-major legacy paths): a >=3D
+        # source makes XLA materialize the output with the patch-cell axis
+        # minor and the tiny data dims tile-padded 28x (OOM at 1M cells);
+        # the flattened (r*3*ndg, nc) form pads only 9 -> 16 sublanes
+        g = dprT.reshape(n_rhs * 3 * ndg, nc)[:, cb.reshape(-1)]
+        g = g.reshape(n_rhs, 3, ndg, cb.shape[0], cb.shape[1])
     dpg = g[:, :2]  # (n_rhs, 2, ndg, n, P)
     frg = g[:, 2]  # (n_rhs, ndg, n, P)
 
@@ -321,14 +332,14 @@ def load_moments_bl(engine, key, dprT, dv, refd):
     return Fv, Fq
 
 
-def element_data_bl(engine, key, dprT, dv, refd):
+def element_data_bl(engine, key, dprT, dv, refd, src_packed=None):
     """Batch-last canonical element tensors (Mc from the device cache when
     present): Mc (n, nkeep, nkeep, P), Fv (n_rhs, n, nkeep, P),
     Fq (n_rhs, n, ndg, P)."""
     Mc = dv.get("Mc_bl")
     if Mc is None:
         Mc = mass_matrices_bl(engine, key, dv, refd)
-    Fv, Fq = load_moments_bl(engine, key, dprT, dv, refd)
+    Fv, Fq = load_moments_bl(engine, key, dprT, dv, refd, src_packed)
     return Mc, Fv, Fq
 
 
@@ -427,7 +438,11 @@ def reduced_system_bl(engine, key, Mc, dv, resid=None, matrix=True):
     d0 = dv["cumalpha_bl"]  # (ns, P)
 
     Az = jnp.zeros((Dz, Dz, P), dt) if matrix else None
-    bz = None if resid is None else jnp.zeros((Dz, resid.shape[0], P), dt)
+    # bz accumulated batch-major (n_rhs, Dz, P) with ONE final transpose:
+    # a per-cell swapaxes inside the loop lowers to a relayout copy per
+    # cell at n_rhs > 1 (measured +118 ms at 1M cells, n_rhs=3)
+    bzr = None if resid is None else jnp.zeros(
+        (resid.shape[0], Dz, P), dt)
     for i in range(n):
         Mi = Mc[i]  # (nkeep, nkeep, P)
         wen = d0[i]
@@ -448,8 +463,9 @@ def reduced_system_bl(engine, key, Mc, dv, resid=None, matrix=True):
         if resid is not None:
             ri = resid[:, i]  # (n_rhs, nkeep, P)
             if len(U):
-                bz = bz.at[C_i].add(jnp.swapaxes(ri[:, U], 0, 1))
-            bz = bz.at[0].add(wen * ri[:, 0] + wex * ri[:, k])
+                bzr = bzr.at[:, C_i].add(ri[:, U])
+            bzr = bzr.at[:, 0].add(wen * ri[:, 0] + wex * ri[:, k])
+    bz = None if bzr is None else jnp.moveaxis(bzr, 0, 1)
     return Az, bz
 
 
@@ -474,7 +490,7 @@ def z_mask_bl(engine, key, ess):
 
 
 def solve_bucket_semiexplicit(
-    engine, key, dprT, facet_kind, bvals, dv, refd
+    engine, key, dprT, facet_kind, bvals, dv, refd, src_packed=None
 ):
     """Full reduced solve of one bucket (batch-last packed input
     dprT (n_rhs, 3, ndg, nc) = [sigma_proj | rhs]) ->
@@ -486,7 +502,7 @@ def solve_bucket_semiexplicit(
     dt = engine.dtype
     n_rhs = dprT.shape[0]
 
-    Mc, Fv, Fq = element_data_bl(engine, key, dprT, dv, refd)
+    Mc, Fv, Fq = element_data_bl(engine, key, dprT, dv, refd, src_packed)
     P = Mc.shape[-1]
     if b.is_boundary:
         ess, hatvals = boundary_ess_bl(engine, key, facet_kind, bvals, dv, refd)
@@ -496,7 +512,16 @@ def solve_bucket_semiexplicit(
 
     pidx = engine.tables[key]["patch_idx"]  # (n, nkeep) static
     sp_can = sp[:, pidx]  # (n_rhs, n, nkeep, P)
-    resid = Fv - jnp.einsum("cabx,rcbx->rcax", Mc, sp_can)
+    # explicit b-reduce instead of an einsum: the dot_general lowering of
+    # the tiny per-point (nkeep x nkeep) contraction relayouts/pads at
+    # n_rhs > 1 (measured +73 ms at 1M cells, n_rhs=3; the broadcast form
+    # is bandwidth-bound at any n_rhs)
+    nkeep = Mc.shape[1]
+    msp = None
+    for bcol in range(nkeep):
+        t = Mc[:, :, bcol, :][None] * sp_can[:, :, bcol, None, :]
+        msp = t if msp is None else msp + t
+    resid = Fv - msp
 
     if "Az_bl" in dv:
         _, bz = reduced_system_bl(engine, key, Mc, dv, resid=resid,

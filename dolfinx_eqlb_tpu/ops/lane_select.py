@@ -23,29 +23,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lane_select_sum"]
+__all__ = ["lane_select_sum", "lane_select_multi"]
 
 
-def _kernel(C, rows_ref, lane_ref, out_ref):
+def _kernel(C, R, rows_ref, lane_ref, out_ref):
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
-    acc = None
-    # per-contributor unroll, slicing at the ref level: Mosaic supports only
-    # single trailing-axis reductions, and value-level integer indexing of a
-    # non-minor axis lowers to an unsupported gather
-    for c in range(C):
-        rows_c = rows_ref[0, :, :, c, :]  # (8, 128, 128)
-        lane_c = lane_ref[0, c]  # (8, 128)
-        m = (lane_c[:, :, None] == iota).astype(rows_c.dtype)
-        t = jnp.sum(rows_c * m, axis=-1)  # (8, 128)
-        acc = t if acc is None else acc + t
-    out_ref[0] = acc
+    # per-contributor / per-offset unroll, slicing at the ref level: Mosaic
+    # supports only single trailing-axis reductions, and value-level integer
+    # indexing of a non-minor axis lowers to an unsupported gather
+    for r in range(R):
+        acc = None
+        for c in range(C):
+            rows_c = rows_ref[0, :, :, c, :]  # (8, 128, 128)
+            lane_c = lane_ref[0, c]  # (8, 128)
+            m = ((lane_c[:, :, None] + r) == iota).astype(rows_c.dtype)
+            t = jnp.sum(rows_c * m, axis=-1)  # (8, 128)
+            acc = t if acc is None else acc + t
+        out_ref[r, 0] = acc
 
 
-@partial(jax.jit, static_argnames=())
-def _run(rows, lane):
+@partial(jax.jit, static_argnames=("R",))
+def _run(rows, lane, R=1):
     G, _, _, C, _ = rows.shape
     return pl.pallas_call(
-        partial(_kernel, C),
+        partial(_kernel, C, R),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 8, 128, C, 128), lambda i: (i, 0, 0, 0, 0),
@@ -53,9 +54,9 @@ def _run(rows, lane):
             pl.BlockSpec((1, C, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((R, 1, 8, 128), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, 8, 128), rows.dtype),
+        out_shape=jax.ShapeDtypeStruct((R, G, 8, 128), rows.dtype),
         interpret=(jax.default_backend() != "tpu"),
     )(rows, lane)
 
@@ -69,5 +70,19 @@ def lane_select_sum(rows, lane):
     Returns (G, 8, 128)."""
     if jax.config.jax_enable_x64 and rows.dtype != jnp.float64:
         with jax.enable_x64(False):
-            return _run(rows, lane)
-    return _run(rows, lane)
+            return _run(rows, lane)[0]
+    return _run(rows, lane)[0]
+
+
+def lane_select_multi(rows, lane, R):
+    """Multi-RHS variant: out[r, g, s, l] =
+    sum_c rows[g, s, l, c, lane[g, c, s, l] + r] for r in [0, R).
+
+    One pass over the gathered rows serves all R right-hand sides (the
+    engine packs the RHS axis into adjacent lanes of the flat solution
+    layout), so the HBM-bound row gather is paid once, not once per RHS.
+    Returns (R, G, 8, 128)."""
+    if jax.config.jax_enable_x64 and rows.dtype != jnp.float64:
+        with jax.enable_x64(False):
+            return _run(rows, lane, R)
+    return _run(rows, lane, R)

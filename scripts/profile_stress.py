@@ -112,11 +112,14 @@ def main(n=500, k=2):
 
     # isolated bucket solves at n_rhs = 3
     def seg_solve(dprT, fk, bv, dev, refd):
+        sp = jnp.moveaxis(dprT.reshape(-1, dprT.shape[-1]), 0, 1)
+        sp = jnp.pad(sp, ((0, 0), (0, 128 - sp.shape[1])))
+        sp = jax.lax.optimization_barrier(sp)
         outs = []
         with jax.default_matmul_precision("float32"):
             for key in keys:
                 sol = se.solve_bucket_semiexplicit(
-                    engine, key, dprT, fk, bv, dev[key], refd)
+                    engine, key, dprT, fk, bv, dev[key], refd, src_packed=sp)
                 outs.append(sol.ravel()[:1])
         return sum(outs)
 
@@ -126,40 +129,17 @@ def main(n=500, k=2):
         prof[tag] = timeit(js, dprT, a[2], a[3], dev, refd)
         print(f"{tag}: {prof[tag]*1000:.1f} ms", flush=True)
 
-    # isolated combine at n_rhs = 1 and 3
+    # isolated combine at n_rhs = 1 and 3 (the engine's own path, incl. the
+    # RHS-lane-packed layout for nr > 1)
     cm = engine._combine
-    from dolfinx_eqlb_tpu.ops.lane_select import lane_select_sum
-
     for nr in (1, 3):
+        if nr > 1:
+            engine._ensure_combine_tables(nr)
+        dev, refd = engine._device_tables()
         flat_dev = jnp.asarray(
-            rng.normal(size=(nr, cm["Lpad"])).astype(np.float32))
-
-        def seg_combine(flat, refd, nr=nr):
-            f2 = flat.reshape(nr, -1, 128)
-
-            def pick(nm):
-                rows_all, lane_all = refd["rows" + nm], refd["lane" + nm]
-                G, C = lane_all.shape[0], lane_all.shape[1]
-                gseg = G if nr * G * 1024 * C * 512 <= (6 << 30) else 1536
-                segs = []
-                for g0 in range(0, G, gseg):
-                    g1 = min(g0 + gseg, G)
-                    rows_flat = jax.lax.slice_in_dim(
-                        rows_all, g0 * 1024 * C, g1 * 1024 * C)
-                    lane = jax.lax.slice_in_dim(lane_all, g0, g1)
-                    rg = f2[:, rows_flat].reshape(
-                        nr, g1 - g0, 8, 128, C, 128)
-                    segs.append(jnp.stack(
-                        [lane_select_sum(rg[r], lane) for r in range(nr)]))
-                out = (segs[0] if len(segs) == 1
-                       else jnp.concatenate(segs, axis=1))
-                return out.reshape(nr, -1)
-
-            x = pick("01")[:, :V.ndofs]
-            tail = pick("2")[:, : V.ndofs - cm["nfk"]]
-            return x.at[:, cm["nfk"]:].add(tail)
-
-        prof[f"combine{nr}"] = timeit(jax.jit(seg_combine), flat_dev, refd)
+            rng.normal(size=(nr, engine._flat_len)).astype(np.float32))
+        jc = jax.jit(lambda flat, refd: engine._combine_flat(flat, refd))
+        prof[f"combine{nr}"] = timeit(jc, flat_dev, refd)
         print(f"combine{nr}: {prof[f'combine{nr}']*1000:.1f} ms", flush=True)
 
     prof["backend"] = jax.default_backend()

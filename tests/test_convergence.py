@@ -42,8 +42,6 @@ def sig_ext(x):  # -grad u
 @pytest.mark.parametrize("degree", [1, 2, 3, 4])
 @pytest.mark.parametrize("bc_type", ["dirichlet", "neumann"])
 def test_flux_convergence_rate(Eqlb, degree, bc_type):
-    if degree == 4 and (Eqlb is FluxEqlbEV or bc_type == "neumann"):
-        pytest.skip("degree-4 series bounded to one configuration for runtime")
     k = degree
     errs, errs_div, hs = [], [], []
     for n in (2, 4, 8):

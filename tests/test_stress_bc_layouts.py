@@ -53,7 +53,7 @@ XFAIL_DEG2 = {8, 10, 12}
 
 
 @pytest.mark.parametrize("id_bc", sorted(LAYOUTS))
-@pytest.mark.parametrize("deg", [2, 3])
+@pytest.mark.parametrize("deg", [2, 3, 4])
 def test_stress_bc_layout(id_bc, deg):
     if deg == 2 and id_bc in XFAIL_DEG2:
         pytest.xfail("component-crossed corner (reference xfail too)")
