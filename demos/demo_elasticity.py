@@ -12,6 +12,18 @@ Mirror of reference ``demo/elasticity/demo_reconstruction.py`` +
 Equilibrates the negated stress rows with weak symmetry + Korn constants
 and reports the guaranteed bound and its efficiency index vs the energy
 error (reference ``demo_error_estimation.py:185-208``).
+
+Equilibration degree: ``--degree`` defaults to ``order_prime + 1``.  At
+``degree == order_prime`` (the reference demo's default) the corrector
+carries an intrinsic O(h^{degree-1}) term — the hat-weighted target
+``psi_z sigma_proj`` sits O(h^{k-1}) away from RT_k per patch, and unlike
+the Poisson (gradient-data) case the patch deviations do not telescope for
+stress-row data — so eta decays one order slower than the error and I_eff
+grows under refinement (measured: 34.6 -> 134.8 over n = 4..32 at
+porder = degree = 2; rates study in ``scripts/diag_target_distance.py``).
+One extra degree restores eta ~ error (measured I_eff 8.0 -> 6.0,
+decreasing, at degree = 3).  The same holds for the reference's
+formulation (``FluxEqlbEV.py:116-134`` fits the same hat-weighted target).
 """
 
 import os as _os
@@ -191,12 +203,17 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=8)
     p.add_argument("--order-prime", type=int, default=2)
-    p.add_argument("--degree", type=int, default=2)
+    p.add_argument("--degree", type=int, default=None,
+                   help="equilibration degree; default order_prime + 1 "
+                        "(at == order_prime the bound loses one order, "
+                        "see module docstring)")
     p.add_argument("--formulation", choices=["u", "up"], default="u")
     p.add_argument("--study", action="store_true",
                    help="run the n = 4..32 refinement study, write CSV")
     p.add_argument("--outfile", default=None)
     a = p.parse_args()
+    if a.degree is None:
+        a.degree = a.order_prime + 1
     if a.study:
         out = a.outfile or (
             f"ConvStudyElasticity-{a.formulation}_porder-{a.order_prime}"
