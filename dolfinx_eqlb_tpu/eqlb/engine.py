@@ -313,11 +313,12 @@ class EqlbEngine:
         """Upload the extra combine index tables the n_rhs > 1 paths need
         (lazy).  n_rhs == 2 uses the R=2 lane-packed row gather; n_rhs >= 3
         uses the batched element gather."""
-        if n_rhs <= 1:
+        f64 = self.dtype == jnp.float64 and jax.default_backend() == "tpu"
+        if n_rhs <= 1 and not f64:
             return
         _, refd = self._device_tables()
         cm = self._combine
-        if n_rhs == 2:
+        if n_rhs == 2 and not f64:
             if 2 in self._packed_R:
                 return
             for nm in ("01", "2"):
@@ -746,7 +747,10 @@ class EqlbEngine:
         cm = self._combine
         ndofs = self.V.ndofs
 
-        if n_rhs >= 3:
+        # f64 (mixed-precision) on TPU must avoid the Pallas kernels
+        # (Mosaic is f32-only) — the element-gather path is pure XLA
+        if n_rhs >= 3 or (flat.dtype == jnp.float64
+                          and jax.default_backend() == "tpu"):
             flat = jnp.pad(flat, ((0, 0), (0, cm["Lpad"] - flat.shape[1])))
             gA = flat[:, refd["elem_c0"]]
             gB = flat[:, refd["elem_c1"]]
@@ -863,10 +867,31 @@ class EqlbEngine:
         return jnp.moveaxis(jnp.linalg.solve(Ab, bb), 0, -1)
 
     def _dense_solve_bl(self, A, b):
-        """Batch-last solve: A (D, D, X), b (D, R, X) -> (D, R, X)."""
-        if self.solver == "pallas":
+        """Batch-last solve: A (D, D, X), b (D, R, X) -> (D, R, X).
+
+        solver == "pallas_mixed" + f64 operands: mixed-precision iterative
+        refinement — factor/solve on the f32 Pallas kernel (the TPU has no
+        native f64 LU), then one f64 residual-correction pass (two cheap
+        matvec loops).  One step reduces the f32 solve's O(1e-5) relative
+        error to ~f64 level for these small well-conditioned patch systems;
+        since the cached bucket inverses are built THROUGH this routine,
+        the steady-state path inherits the accuracy with no per-call cost
+        beyond f64 arithmetic."""
+        if self.solver in ("pallas", "pallas_mixed"):
             from ..ops.patch_solve import batched_kkt_solve_bl
 
+            if self.solver == "pallas_mixed" and A.dtype == jnp.float64:
+                f32, f64 = jnp.float32, jnp.float64
+                A32 = A.astype(f32)
+                y = batched_kkt_solve_bl(A32, b.astype(f32)).astype(f64)
+                D = A.shape[0]
+                # explicit j-sum: tiny-D dot_generals relayout-pad on this
+                # backend (see solve_bucket_semiexplicit)
+                r = b
+                for j in range(D):
+                    r = r - A[:, j, None, :] * y[j][None]
+                d = batched_kkt_solve_bl(A32, r.astype(f32)).astype(f64)
+                return y + d
             return batched_kkt_solve_bl(A, b)
         Ab = jnp.moveaxis(A, -1, 0)
         bb = jnp.moveaxis(b, -1, 0)

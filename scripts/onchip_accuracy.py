@@ -48,13 +48,37 @@ def main(n=64, k=2):
     results = {"mesh_cells": int(nc), "flux_degree": k,
                "backend": jax.default_backend()}
 
+    import time
+
+    def timed_equilibrate(eng, dp, dr, reps=3):
+        x = eng.equilibrate(dp, dr, facet_kind, bvals.astype(dp.dtype))
+        _ = np.asarray(x[0, :4])  # readback sync (relay backend)
+        ts = []
+        for _i in range(reps):
+            t0 = time.perf_counter()
+            x = eng.equilibrate(dp, dr, facet_kind, bvals.astype(dp.dtype))
+            _ = np.asarray(x[0, :4])
+            ts.append(time.perf_counter() - t0)
+        return np.asarray(x).astype(np.float64), min(ts)
+
     # f32 on the default backend (TPU under the driver)
     eng32 = EqlbEngine(V, buckets, dtype=jnp.float32)
     eng32.solver = "pallas" if jax.default_backend() == "tpu" else "xla"
-    x32 = np.asarray(
-        eng32.equilibrate(d_proj.astype(np.float32), d_rhs.astype(np.float32),
-                          facet_kind, bvals.astype(np.float32))
-    ).astype(np.float64)
+    x32, t32 = timed_equilibrate(
+        eng32, d_proj.astype(np.float32), d_rhs.astype(np.float32))
+    results["f32_steady_s"] = t32
+
+    # mixed precision: f64 tables/arithmetic, f32 Pallas factorizations with
+    # one f64 refinement pass inside _dense_solve_bl ("pallas_mixed")
+    xmix = tmix = None
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_enable_x64", True)
+        engm = EqlbEngine(V, buckets, dtype=jnp.float64)
+        engm.solver = "pallas_mixed"
+        xmix, tmix = timed_equilibrate(
+            engm, d_proj.astype(np.float64), d_rhs.astype(np.float64))
+        results["mixed_steady_s"] = tmix
+        results["mixed_overhead_vs_f32"] = tmix / t32
 
     # f64 reference in a CPU subprocess (the Pallas kernels only run in
     # interpret mode off-TPU, which requires a cpu-platform process)
@@ -98,7 +122,11 @@ np.save({td!r} + "/x64.npy", np.asarray(x))
     )
     from dolfinx_eqlb_tpu.fem import Function as F
 
-    for tag, x in (("f32", x32), ("f64", x64)):
+    runs = [("f32", x32), ("f64", x64)]
+    if xmix is not None:
+        results["mixed_vs_f64_max_abs_dev"] = float(np.abs(xmix - x64).max())
+        runs.append(("mixed", xmix))
+    for tag, x in runs:
         sigR = F(V, jnp.asarray(x[0]))
         div_err = check_divergence_condition(sigR, ps, pf, return_error=True)
         jump_ok = check_jump_condition(sigR, ps, atol=1e-4 if tag == "f32" else 1e-9)
