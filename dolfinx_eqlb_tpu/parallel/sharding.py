@@ -59,20 +59,48 @@ class ShardedEqlbEngine:
                 out[name] = jax.device_put(a, NamedSharding(mesh, spec))
             self.dev[key] = out
         self.refd = jax.tree.map(lambda a: jax.device_put(a, repl), refd)
+        # shard the FUSED batch-last program — the same code path the
+        # single-chip fast path runs (semi-explicit + weak symmetry +
+        # grouping skip masks)
         self._jit = jax.jit(
-            engine._equilibrate_impl,
+            engine._equilibrate_impl_T,
             static_argnames=("weak_symmetry",),
             out_shardings=repl,
         )
 
     def equilibrate(self, sigma_proj_dofs, rhs_dofs, facet_kind, bvals,
-                    weak_symmetry=False):
+                    weak_symmetry=False, ws_skip_nodes=None):
+        """Replicated-in/replicated-out equilibrate.  ``ws_skip_nodes``:
+        patch vertices whose per-patch weak-symmetry correction must be
+        skipped (deficient grouped patches — the joint group correction is
+        a host post-pass, same as the single-device orchestration in
+        equilibrators.py)."""
         eng = self.engine
         repl = NamedSharding(self.mesh, P())
+        # the n_rhs > 1 combine index tables are uploaded lazily by the
+        # engine — mirror any new ones into the replicated table pytree
+        eng._ensure_combine_tables(int(np.asarray(sigma_proj_dofs).shape[0]))
+        _, refd = eng._device_tables()
+        for name, a in refd.items():
+            if name not in self.refd:
+                self.refd[name] = jax.device_put(a, repl)
+        ws_skip = None
+        if weak_symmetry and ws_skip_nodes is not None and len(ws_skip_nodes):
+            shard_p = NamedSharding(self.mesh, P(self.axis))
+            ws_skip = {}
+            for key, b in eng.buckets.items():
+                m = np.zeros(eng.tables[key]["J"].shape[0], bool)
+                m[: b.npatches] = np.isin(b.nodes, ws_skip_nodes)
+                ws_skip[key] = jax.device_put(jnp.asarray(m), shard_p)
+        dpT = np.ascontiguousarray(
+            np.moveaxis(np.asarray(sigma_proj_dofs, eng.dtype), 1, -1))
+        drT = np.ascontiguousarray(
+            np.moveaxis(np.asarray(rhs_dofs, eng.dtype), 1, -1))
         args = [
-            jax.device_put(jnp.asarray(sigma_proj_dofs, eng.dtype), repl),
-            jax.device_put(jnp.asarray(rhs_dofs, eng.dtype), repl),
+            jax.device_put(jnp.asarray(dpT), repl),
+            jax.device_put(jnp.asarray(drT), repl),
             jax.device_put(jnp.asarray(facet_kind), repl),
             jax.device_put(jnp.asarray(bvals, eng.dtype), repl),
         ]
-        return self._jit(*args, self.dev, self.refd, weak_symmetry=weak_symmetry)
+        return self._jit(*args, self.dev, self.refd, ws_skip,
+                         weak_symmetry=weak_symmetry)
