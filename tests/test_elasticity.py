@@ -170,3 +170,66 @@ def test_stress_equilibration_estimator_bounds():
     # geometric estimate se/Patch.cpp:130-334), so the efficiency index of
     # the *guaranteed* bound is O(C_K) — just bound it sanely
     assert ieff < 100.0, (eta, err, ieff)
+
+
+def _ieff_level(n, deg, order_prime=2):
+    msh = unit_square(n)
+    V = FunctionSpace(msh, "P", order_prime, vs=2)
+    uh = ElasticitySolver(V, PI_1).solve(
+        expr_from_callable(f_body, msh, value_size=2),
+        msh.boundary_facets,
+        expr_from_callable(u_ext, msh, value_size=2),
+        rtol=1e-13,
+    )
+    Vf = FunctionSpace(msh, "DG", deg - 1, vs=2)
+    Vr = FunctionSpace(msh, "DG", deg - 1)
+    sigma_proj = local_projection(
+        Vf, [stress_row_expr(uh, PI_1, 0, -1.0),
+             stress_row_expr(uh, PI_1, 1, -1.0)]
+    )
+    rhs_proj = local_projection(
+        Vr, [lambda x: f_body(x)[..., 0], lambda x: f_body(x)[..., 1]]
+    )
+    eq = FluxEqlbSE(deg, msh, rhs_proj, sigma_proj,
+                    equilibrate_stress=True, estimate_korn_constant=True)
+    eq.set_boundary_conditions([msh.boundary_facets] * 2, [[], []])
+    eq.equilibrate_fluxes()
+    eta, _, _ = estimate_elasticity(
+        [lambda x: f_body(x)[..., 0], lambda x: f_body(x)[..., 1]],
+        PI_1, sigma_proj, eq.list_flux, eq.get_korn_constants(),
+    )
+    from dolfinx_eqlb_tpu.elements.quadrature import gauss_triangle
+
+    pts, w = gauss_triangle(10)
+    g = np.asarray(uh.evaluate_grad(pts))
+    xq = msh.map_points(pts)
+    gex = np.stack(
+        [np.stack([2 * xq[..., 0] * xq[..., 1], xq[..., 0] ** 2], -1),
+         np.stack([-xq[..., 1] ** 2, -2 * xq[..., 0] * xq[..., 1]], -1)],
+        -2,
+    )
+    de = g - gex
+    eps = 0.5 * (de + np.swapaxes(de, -1, -2))
+    dv = de[..., 0, 0] + de[..., 1, 1]
+    adet = np.abs(msh.detJ)
+    err = np.sqrt(
+        np.einsum("q,c,cqab,cqab->", w, adet, eps, 2 * eps)
+        + PI_1 * np.einsum("q,c,cq,cq->", w, adet, dv, dv)
+    )
+    return eta / err
+
+
+def test_estimator_grade_at_one_degree_higher():
+    """With eorder = porder + 1 the guaranteed bound tracks the error under
+    refinement (I_eff non-increasing).  At eorder = porder the hat-weighted
+    target's intrinsic O(h^{k-1}) corrector makes eta decay one order slower
+    than the error for non-gradient (stress-row) data, so I_eff GROWS —
+    root-cause study in scripts/diag_target_distance.py and the committed
+    ConvStudyElasticity CSVs."""
+    i4 = _ieff_level(4, deg=3)
+    i8 = _ieff_level(8, deg=3)
+    assert i8 <= i4 * 1.05, (i4, i8)
+    # contrast: equal-order I_eff deteriorates on the same problem
+    j4 = _ieff_level(4, deg=2)
+    j8 = _ieff_level(8, deg=2)
+    assert j8 > j4, (j4, j8)
