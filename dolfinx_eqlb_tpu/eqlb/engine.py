@@ -300,6 +300,11 @@ class EqlbEngine:
         layout: flat element of (position p, rhs r) lives at row p // W,
         lane (p % W) * R + r with W = 128 // R."""
         W = 128 // R
+        from .. import native
+
+        out = native.shaped_tables(np.ascontiguousarray(s, np.int32), W, R)
+        if out is not None:
+            return out
         M, C = s.shape
         pad = (-M) % 1024
         s = np.pad(s, ((0, pad), (0, 0)))  # pads read row 0, sliced away

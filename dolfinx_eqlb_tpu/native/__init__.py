@@ -58,6 +58,11 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, _i32, _i32, _u8,
             ]
+            lib.shaped_fill.restype = ctypes.c_int
+            lib.shaped_fill.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, _i32, _i32, _i32,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -102,6 +107,22 @@ def combine_fill(ndofs: int, off: int, gdofs: np.ndarray,
     if rc != 0:
         raise RuntimeError("dof with more than 3 patch contributions")
     return True
+
+
+def shaped_tables(src: np.ndarray, W: int, R: int):
+    """Native combine index-table shaping (see topology.cpp shaped_fill):
+    src (M, C) int32 -> (rows_flat (Mpad*C,), lane (G, C, 8, 128)) int32, or
+    None when the library is unavailable (caller falls back to NumPy)."""
+    lib = _load()
+    if lib is None:
+        return None
+    M, C = src.shape
+    Mpad = -(-M // 1024) * 1024
+    rows = np.empty(Mpad * C, dtype=np.int32)
+    lane = np.empty((Mpad // 1024, C, 8, 128), dtype=np.int32)
+    lib.shaped_fill(M, C, W, R,
+                    np.ascontiguousarray(src, dtype=np.int32), rows, lane)
+    return rows, lane
 
 
 def walk_patches(msh, counts: np.ndarray, nmax: int):

@@ -132,4 +132,25 @@ int combine_fill(int64_t ndofs, int64_t Ppad, int64_t nflux, int64_t off,
   return 0;
 }
 
+// Combine index-table shaping: src (M, C) int32 flat positions ->
+//   rows_flat (Mpad * C) int32 : src[m, c] / W
+//   lane      (G, C, 8, 128)   : (src[m, c] % W) * R
+// with Mpad = ceil(M / 1024) * 1024, G = Mpad / 1024; pad entries use flat
+// position 0 (row 0, lane 0) and are sliced away by the caller.
+int shaped_fill(int64_t M, int64_t C, int64_t W, int64_t R,
+                const int32_t* src, int32_t* rows_flat, int32_t* lane) {
+  int64_t Mpad = ((M + 1023) / 1024) * 1024;
+  for (int64_t m = 0; m < Mpad; ++m) {
+    int64_t g = m / 1024, t = m % 1024;
+    int64_t s8 = t / 128, l = t % 128;
+    for (int64_t c = 0; c < C; ++c) {
+      int32_t s = (m < M) ? src[m * C + c] : 0;
+      rows_flat[m * C + c] = static_cast<int32_t>(s / W);
+      lane[((g * C + c) * 8 + s8) * 128 + l] =
+          static_cast<int32_t>((s % W) * R);
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
