@@ -204,16 +204,19 @@ if __name__ == "__main__":
     p.add_argument("--n", type=int, default=8)
     p.add_argument("--order-prime", type=int, default=2)
     p.add_argument("--degree", type=int, default=None,
-                   help="equilibration degree; default order_prime + 1 "
-                        "(at == order_prime the bound loses one order, "
-                        "see module docstring)")
+                   help="equilibration degree; default = displacement "
+                        "order + 1 (u: order_prime + 1, up: order_prime + "
+                        "2) — one degree lower loses one order in the "
+                        "bound, see module docstring)")
     p.add_argument("--formulation", choices=["u", "up"], default="u")
     p.add_argument("--study", action="store_true",
                    help="run the n = 4..32 refinement study, write CSV")
     p.add_argument("--outfile", default=None)
     a = p.parse_args()
     if a.degree is None:
-        a.degree = a.order_prime + 1
+        # displacement order + 1: the Herrmann (up) displacement space is
+        # P_{order_prime + 1} (Taylor-Hood)
+        a.degree = a.order_prime + (1 if a.formulation == "u" else 2)
     if a.study:
         out = a.outfile or (
             f"ConvStudyElasticity-{a.formulation}_porder-{a.order_prime}"
