@@ -241,6 +241,28 @@ def weak_symmetry_bucket_bl(engine, key, sol2_bl, facet_kind2, dv, refd,
         ff = free[:, None] & free[None, :]
         eye = jnp.eye(D, dtype=dt)
         Sr = jnp.where(ff, S, 0.0) + eye[..., None] * (~free)[None]
+        # Mixed-row traction patches (one row pure-traction, another with
+        # free boundary spokes) can leave the constant constraint mode
+        # v = 1/sqrt(C) on the multiplier rows structurally unreachable —
+        # the masked system is rank-1 deficient with null vector exactly v
+        # (the reference's Eigen LDLT tolerates the consistent singular
+        # Schur complement, PatchData.hpp:598-638; exact LU NaNs).  Detect
+        # ||Sr v|| ~ 0 per patch and apply the exact rank-1 regularization
+        # alpha v v^T — on consistent data this selects the solution with
+        # zero null component and perturbs nothing else.
+        v = jnp.zeros((D, P), dt).at[2 * Dz : 2 * Dz + C].set(
+            jnp.where(free[2 * Dz : 2 * Dz + C], 1.0 / np.sqrt(C), 0.0)
+        )
+        Sv = None
+        for j in range(2 * Dz, 2 * Dz + C):
+            t_ = Sr[:, j] * v[j][None]
+            Sv = t_ if Sv is None else Sv + t_
+        diag_scale = sum(jnp.abs(Sr[j, j]) for j in range(D)) / D
+        sing = (
+            jnp.sqrt(jnp.sum(Sv * Sv, axis=0))
+            < 1e-6 * (diag_scale + 1e-30)
+        ).astype(dt)
+        Sr = Sr + (sing * diag_scale)[None, None] * v[:, None] * v[None]
         rhs = jnp.zeros((D, P), dt).at[2 * Dz : 2 * Dz + C].set(g)
         rhs = jnp.where(free, rhs, 0.0)
         y = engine._dense_solve_pivoted_bl(Sr, rhs[:, None, :])[:, 0]  # (D, P)
