@@ -53,8 +53,28 @@ from .patches import PatchBucket, bucket_dof_tables
 
 __all__ = ["EqlbEngine", "reference_tensors"]
 
+# fuse=False per-bucket executables, shared ACROSS engines so adaptive
+# loops (fresh engine per refined mesh) reuse compiled bucket programs —
+# see EqlbEngine._equilibrate_unfused
+_UNFUSED_JIT_CACHE: dict = {}
+
 
 _HAT_GRADS = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+
+
+def _quantize_pad(target: int, f: float) -> int:
+    """Next size on the geometric padding grid: powers of two below 128,
+    tile-aligned ~f-ratio steps above (see EqlbEngine pad_quantize).  The
+    grid is a fixed sequence independent of the query, so adaptive meshes
+    land on recurring sizes."""
+    if target <= 1:
+        return 1
+    if target < 128:
+        return 1 << (target - 1).bit_length()
+    size = 128
+    while size < target:
+        size = max(size + 128, -(-int(size * f) // 128) * 128)
+    return size
 
 
 @lru_cache(maxsize=None)
@@ -102,6 +122,7 @@ class EqlbEngine:
         dtype=None,
         pad_to_multiple: int | None = None,
         max_patches_per_bucket: int | None = None,
+        pad_quantize: float | None = None,
     ):
         """``dtype``: compute precision of the batched patch solves.  f64 is
         the default (the 1e-10-level invariant checks need it) but the TPU
@@ -116,6 +137,14 @@ class EqlbEngine:
         ``max_patches_per_bucket``: split large buckets into chunks of at
         most this many patches — bounds the peak HBM of the batched LU temp
         (a 249k x 57 x 57 f32 LU pads to 7.6 GB on TPU).
+
+        ``pad_quantize``: round every bucket's padded patch count up to a
+        geometric grid (next power of two below 128 patches, then
+        128 * ceil(f^j) with f = pad_quantize).  Bucket shapes then RECUR
+        across the meshes of an adaptive refinement loop, so recompiles hit
+        the persistent compile cache (all tables enter the jit as
+        arguments, so equal shapes mean equal HLO).  Costs at most a factor
+        f of padded compute; 1.25 is a good default for adaptive runs.
         """
         assert V_flux.family == "RT"
         self.V = V_flux
@@ -202,6 +231,10 @@ class EqlbEngine:
             )
             if pad_to_multiple:
                 target += (-target) % pad_to_multiple
+            if pad_quantize and key not in self._chunk_target:
+                target = _quantize_pad(target, pad_quantize)
+                if pad_to_multiple:
+                    target += (-target) % pad_to_multiple
             if target > b.npatches:
                 P = b.npatches
                 pad = target - P
@@ -314,16 +347,32 @@ class EqlbEngine:
             np.ascontiguousarray(np.moveaxis(lane, 3, 1)).astype(np.int32),
         )
 
+    def _use_elem_combine(self, n_rhs: int) -> bool:
+        """The batched element-gather combine is used for n_rhs >= 3 (its
+        index-rate cost is n_rhs-independent), for f64 engines on TPU
+        (Mosaic kernels are f32-only), and for EVERYTHING off-TPU: the
+        row-gather path's Pallas lane select only runs in interpret mode
+        there and dominates CPU wall-clock ~50x (the elem path is pure
+        XLA).  EQLB_FORCE_LANE_SELECT=1 restores the row+kernel path
+        off-TPU for interpret-mode kernel coverage in tests."""
+        import os
+
+        if n_rhs >= 3:
+            return True
+        if jax.default_backend() != "tpu":
+            return "EQLB_FORCE_LANE_SELECT" not in os.environ
+        return self.dtype == jnp.float64
+
     def _ensure_combine_tables(self, n_rhs: int):
         """Upload the extra combine index tables the n_rhs > 1 paths need
         (lazy).  n_rhs == 2 uses the R=2 lane-packed row gather; n_rhs >= 3
         uses the batched element gather."""
-        f64 = self.dtype == jnp.float64 and jax.default_backend() == "tpu"
-        if n_rhs <= 1 and not f64:
+        elem = self._use_elem_combine(n_rhs)
+        if n_rhs <= 1 and not elem:
             return
         _, refd = self._device_tables()
         cm = self._combine
-        if n_rhs == 2 and not f64:
+        if n_rhs == 2 and not elem:
             if 2 in self._packed_R:
                 return
             for nm in ("01", "2"):
@@ -602,8 +651,14 @@ class EqlbEngine:
 
     def _equilibrate_unfused(self, d_proj, d_rhs, facet_kind, bvals, dev,
                              refd, weak_symmetry):
-        if not hasattr(self, "_jit_bucket"):
-            self._jit_bucket = {}
+        """Per-bucket dispatch (fuse=False): one jitted executable per
+        (bucket signature, padded patch count) from a MODULE-LEVEL cache, so
+        adaptive loops — a fresh engine per refined mesh — reuse compiled
+        bucket programs whose shapes recur (with ``pad_quantize`` most do).
+        The cached closure binds its creator engine; all per-mesh data flows
+        through the dv/refd arguments, and the engine-side statics
+        (patch_idx, se_static, reference tensors) are functions of
+        (k, bucket signature) only, so reuse across engines is exact."""
         if not hasattr(self, "_jit_scatter"):
             self._jit_scatter = jax.jit(
                 lambda x, sol, gd: x.at[:, gd].add(sol), donate_argnums=0
@@ -611,27 +666,35 @@ class EqlbEngine:
 
         def make(key):
             def run(dp, dr, fk, bv, dv, rf):
-                sol = self._solve_bucket(key, dp, dr, fk, bv, dv, rf)
-                if weak_symmetry:
-                    from .stress import weak_symmetry_bucket
+                with jax.default_matmul_precision("float32"):
+                    sol = self._solve_bucket(key, dp, dr, fk, bv, dv, rf)
+                    if weak_symmetry:
+                        from .stress import weak_symmetry_bucket
 
-                    delta = weak_symmetry_bucket(
-                        self, key, sol[:2], fk[:2], dp[:2], dv, rf
-                    )
-                    sol = sol.at[:2].add(delta)
-                return sol
+                        delta = weak_symmetry_bucket(
+                            self, key, sol[:2], fk[:2], dp[:2], dv, rf
+                        )
+                        sol = sol.at[:2].add(delta)
+                    return sol
 
             return jax.jit(run)
 
         n_rhs = d_proj.shape[0]
         x = jnp.zeros((n_rhs, self.V.ndofs), self.dtype)
         for key in sorted(self.buckets.keys()):
-            jkey = (key[:2], self.buckets[key].npatches, weak_symmetry)
-            if jkey not in self._jit_bucket:
-                self._jit_bucket[jkey] = make(key)
-            sol = self._jit_bucket[jkey](
-                d_proj, d_rhs, facet_kind, bvals, dev[key], refd
+            # npatches (the true count) never enters the traced program —
+            # pads are solved too and scatter out of bounds — so reuse is
+            # keyed on the PADDED patch count only
+            jkey = (
+                self.k, str(np.dtype(self.dtype)), self.mode, self.solver,
+                key[:2], self.tables[key]["J"].shape[0], weak_symmetry,
             )
+            fn = _UNFUSED_JIT_CACHE.get(jkey)
+            if fn is None:
+                if len(_UNFUSED_JIT_CACHE) >= 64:  # bound closure-held
+                    _UNFUSED_JIT_CACHE.clear()  # engines (host tables)
+                fn = _UNFUSED_JIT_CACHE[jkey] = make(key)
+            sol = fn(d_proj, d_rhs, facet_kind, bvals, dev[key], refd)
             x = self._jit_scatter(x, sol, dev[key]["gdofs"])
         return x
 
@@ -752,10 +815,7 @@ class EqlbEngine:
         cm = self._combine
         ndofs = self.V.ndofs
 
-        # f64 (mixed-precision) on TPU must avoid the Pallas kernels
-        # (Mosaic is f32-only) — the element-gather path is pure XLA
-        if n_rhs >= 3 or (flat.dtype == jnp.float64
-                          and jax.default_backend() == "tpu"):
+        if self._use_elem_combine(n_rhs):
             flat = jnp.pad(flat, ((0, 0), (0, cm["Lpad"] - flat.shape[1])))
             gA = flat[:, refd["elem_c0"]]
             gB = flat[:, refd["elem_c1"]]
