@@ -269,16 +269,24 @@ def bucket_dof_tables(bucket: PatchBucket, V_flux: FunctionSpace):
     P = bucket.npatches
     nkeep = 2 * k + kk1
 
-    # canonical -> element-local dof indices
-    perm = np.empty((P, n, nkeep), dtype=np.int32)
-    for m in range(k):
-        perm[:, :, m] = bucket.entry_loc * k + m
-        perm[:, :, k + m] = bucket.exit_loc * k + m
-    perm[:, :, 2 * k :] = 3 * k + np.arange(kk1)[None, None, :]
+    # canonical -> element-local dof indices + orientation signs (native
+    # single-pass fill; the NumPy fallback's take_along_axis gathers are
+    # the hottest host op at 1M cells)
+    from .. import native
 
-    signs = np.take_along_axis(
-        V_flux.dof_signs[bucket.cells.astype(np.int64)], perm, axis=2
-    )
+    out = native.perm_signs(bucket.cells, bucket.entry_loc,
+                            bucket.exit_loc, V_flux.dof_signs, k, kk1)
+    if out is not None:
+        perm, signs = out
+    else:
+        perm = np.empty((P, n, nkeep), dtype=np.int32)
+        for m in range(k):
+            perm[:, :, m] = bucket.entry_loc * k + m
+            perm[:, :, k + m] = bucket.exit_loc * k + m
+        perm[:, :, 2 * k :] = 3 * k + np.arange(kk1)[None, None, :]
+        signs = np.take_along_axis(
+            V_flux.dof_signs[bucket.cells.astype(np.int64)], perm, axis=2
+        )
 
     # static patch-local placement
     patch_idx = np.empty((n, nkeep), dtype=np.int64)

@@ -24,6 +24,7 @@ _tried = False
 _i32 = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _i64 = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
 _u8 = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
 def _load():
@@ -62,6 +63,12 @@ def _load():
             lib.shaped_fill.argtypes = [
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, _i32, _i32, _i32,
+            ]
+            lib.perm_signs_fill.restype = ctypes.c_int
+            lib.perm_signs_fill.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, _i32, _i32, _i32,
+                _f64, _i32, _f64,
             ]
             _lib = lib
         except Exception:
@@ -123,6 +130,26 @@ def shaped_tables(src: np.ndarray, W: int, R: int):
     lib.shaped_fill(M, C, W, R,
                     np.ascontiguousarray(src, dtype=np.int32), rows, lane)
     return rows, lane
+
+
+def perm_signs(cells, entry_loc, exit_loc, dof_signs, k, kk1):
+    """Native canonical-permutation + signs fill (see topology.cpp);
+    returns (perm (P, n, nkeep) int32, signs (P, n, nkeep) f64) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    P, n = cells.shape
+    nkeep = 2 * k + kk1
+    perm = np.empty((P, n, nkeep), dtype=np.int32)
+    signs = np.empty((P, n, nkeep), dtype=np.float64)
+    lib.perm_signs_fill(
+        P, n, k, kk1, dof_signs.shape[1],
+        np.ascontiguousarray(cells, dtype=np.int32),
+        np.ascontiguousarray(entry_loc, dtype=np.int32),
+        np.ascontiguousarray(exit_loc, dtype=np.int32),
+        np.ascontiguousarray(dof_signs, dtype=np.float64), perm, signs,
+    )
+    return perm, signs
 
 
 def walk_patches(msh, counts: np.ndarray, nmax: int):

@@ -153,4 +153,31 @@ int shaped_fill(int64_t M, int64_t C, int64_t W, int64_t R,
   return 0;
 }
 
+// Canonical permutation + orientation signs for one patch bucket:
+//   perm[p, i, m]        = entry_loc[p, i] * k + m            (m < k)
+//   perm[p, i, k + m]    = exit_loc[p, i] * k + m
+//   perm[p, i, 2k + j]   = 3k + j                             (j < kk1)
+//   signs[p, i, s]       = dof_signs[cells[p, i], perm[p, i, s]]
+int perm_signs_fill(int64_t P, int64_t n, int64_t k, int64_t kk1,
+                    int64_t nel, const int32_t* cells,
+                    const int32_t* entry_loc, const int32_t* exit_loc,
+                    const double* dof_signs, int32_t* perm, double* signs) {
+  int64_t nkeep = 2 * k + kk1;
+  for (int64_t p = 0; p < P; ++p) {
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t o = (p * n + i) * nkeep;
+      int32_t e = entry_loc[p * n + i], x = exit_loc[p * n + i];
+      const double* ds = dof_signs + int64_t(cells[p * n + i]) * nel;
+      for (int64_t m = 0; m < k; ++m) {
+        perm[o + m] = e * k + static_cast<int32_t>(m);
+        perm[o + k + m] = x * k + static_cast<int32_t>(m);
+      }
+      for (int64_t j = 0; j < kk1; ++j)
+        perm[o + 2 * k + j] = static_cast<int32_t>(3 * k + j);
+      for (int64_t s = 0; s < nkeep; ++s) signs[o + s] = ds[perm[o + s]];
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"
