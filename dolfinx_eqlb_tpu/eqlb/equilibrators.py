@@ -51,7 +51,12 @@ class FluxEquilibrator:
     """Base: shared setup of the patch tables and the batched engine
     (reference ``eqlb/FluxEquilibrator.py``)."""
 
-    def __init__(self, degree_flux: int, msh, list_rhs, list_proj_flux):
+    def __init__(self, degree_flux: int, msh, list_rhs, list_proj_flux,
+                 pad_quantize: float | None = None):
+        """``pad_quantize``: quantize bucket padding so engine shapes recur
+        across the meshes of an adaptive loop and recompiles hit the
+        persistent compile cache (see EqlbEngine); 1.25 is a good value for
+        adaptive runs."""
         if len(list_rhs) != len(list_proj_flux):
             raise RuntimeError("Mismatching inputs!")
         self.degree_flux = degree_flux
@@ -66,7 +71,8 @@ class FluxEquilibrator:
             if f.space.family != "DG" or f.space.block_size != 1:
                 raise ValueError("projected RHS must be scalar DG functions")
         self._V_rt = FunctionSpace(msh, "RT", k)
-        self.engine = EqlbEngine(self._V_rt, _mesh_patches(msh))
+        self.engine = EqlbEngine(self._V_rt, _mesh_patches(msh),
+                                 pad_quantize=pad_quantize)
         self._d_proj = jnp.asarray(
             np.stack([_dg_dofs(f, ndg) for f in list_proj_flux])
         )  # (n_rhs, nc, 2, ndg)
@@ -114,8 +120,10 @@ class FluxEqlbEV(FluxEquilibrator):
     """Constrained-minimisation equilibrator (Ern & Vohralik 2015), reference
     ``FluxEqlbEV.py``.  Result: the flux itself, conforming RT."""
 
-    def __init__(self, degree_flux, msh, list_rhs, list_proj_flux):
-        super().__init__(degree_flux, msh, list_rhs, list_proj_flux)
+    def __init__(self, degree_flux, msh, list_rhs, list_proj_flux,
+                 pad_quantize=None):
+        super().__init__(degree_flux, msh, list_rhs, list_proj_flux,
+                         pad_quantize=pad_quantize)
         self.V_flux = self._V_rt
 
     def equilibrate_fluxes(self):
@@ -138,8 +146,10 @@ class FluxEqlbSE(FluxEquilibrator):
         list_proj_flux,
         equilibrate_stress: bool = False,
         estimate_korn_constant: bool = False,
+        pad_quantize: float | None = None,
     ):
-        super().__init__(degree_flux, msh, list_rhs, list_proj_flux)
+        super().__init__(degree_flux, msh, list_rhs, list_proj_flux,
+                         pad_quantize=pad_quantize)
         self.V_flux = FunctionSpace(msh, "DRT", degree_flux)
         self.equilibrate_stress = equilibrate_stress
         self.estimate_korn_constant = estimate_korn_constant
