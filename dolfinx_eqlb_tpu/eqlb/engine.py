@@ -348,31 +348,28 @@ class EqlbEngine:
         )
 
     def _use_elem_combine(self, n_rhs: int) -> bool:
-        """The batched element-gather combine is used for n_rhs >= 3 (its
-        index-rate cost is n_rhs-independent), for f64 engines on TPU
-        (Mosaic kernels are f32-only), and for EVERYTHING off-TPU: the
+        """The batched element-gather combine is used for f64 engines on
+        TPU (Mosaic kernels are f32-only) and for EVERYTHING off-TPU: the
         row-gather path's Pallas lane select only runs in interpret mode
         there and dominates CPU wall-clock ~50x (the elem path is pure
         XLA).  EQLB_FORCE_LANE_SELECT=1 restores the row+kernel path
         off-TPU for interpret-mode kernel coverage in tests."""
         import os
 
-        if n_rhs >= 3:
-            return True
         if jax.default_backend() != "tpu":
             return "EQLB_FORCE_LANE_SELECT" not in os.environ
         return self.dtype == jnp.float64
 
     def _ensure_combine_tables(self, n_rhs: int):
         """Upload the extra combine index tables the n_rhs > 1 paths need
-        (lazy).  n_rhs == 2 uses the R=2 lane-packed row gather; n_rhs >= 3
-        uses the batched element gather."""
+        (lazy).  n_rhs >= 2 routes through R=2 lane-packed row gathers
+        (pairwise for n_rhs >= 3); f64 / off-TPU use the element gather."""
         elem = self._use_elem_combine(n_rhs)
         if n_rhs <= 1 and not elem:
             return
         _, refd = self._device_tables()
         cm = self._combine
-        if n_rhs == 2 and not elem:
+        if not elem and n_rhs >= 2:
             if 2 in self._packed_R:
                 return
             for nm in ("01", "2"):
@@ -800,17 +797,20 @@ class EqlbEngine:
         """Global accumulation of the concatenated flat bucket solutions
         (n_rhs, L) -> (n_rhs, ndofs).
 
-        Three measured-fastest paths (TPU gathers are INDEX-RATE-bound,
-        ~100-200M idx/s, locality-dependent):
+        Measured-fastest paths (the TPU gather runs ~220M idx/s while its
+        source stays cache-resident and drops to ~133M idx/s past a cliff
+        near 128 MB — measured on v5e with the real index tables):
         * n_rhs == 1 — row gather + Pallas lane select (row fetches process
-          ~2x the indices/s of element gathers);
-        * n_rhs == 2 — same row gather on the R=2 lane-packed layout (2 RHS
-          per 128-lane row at only 2x source-locality dilution);
-        * n_rhs >= 3 — three batched element gathers on (n_rhs, Lpad): the
-          gather unit fetches the whole RHS column per index, so the cost is
-          n_rhs-independent (measured 102 ms for (3, 12M) vs 107 ms for
-          (12M,) at 10M indices; an R=4 packed row layout dilutes source
-          locality 4x and loses)."""
+          ~2x the indices/s of element gathers; source ~50 MB at 1M cells);
+        * n_rhs == 2 — the same row gather on the R=2 lane-packed layout
+          (64 positions x 2 RHS lanes per row): one fetch serves both RHS
+          and the ~100 MB source still sits under the cache cliff;
+        * n_rhs >= 3 — PAIRWISE R=2 passes.  Packing more RHS per row
+          pushes the source past the cliff and loses outright (R=3 packed:
+          192 ms vs 137 ms elem gather vs ~100 ms pairwise at 1M cells);
+          the batched element gather is NOT n_rhs-flat either (the RHS axis
+          is major, so each index costs n_rhs separate fetches);
+        * f64-on-TPU / off-TPU — batched element gathers (pure XLA)."""
         n_rhs = flat.shape[0]
         cm = self._combine
         ndofs = self.V.ndofs
@@ -825,15 +825,26 @@ class EqlbEngine:
 
         from ..ops.lane_select import lane_select_multi, lane_select_sum
 
-        if n_rhs == 2:
-            Lpos = self._lpad(2)
-            flat = jnp.pad(flat, ((0, 0), (0, Lpos - flat.shape[1])))
-            fT = jnp.moveaxis(flat, 0, 1)  # (Lpos, 2)
-            f2p = fT.reshape(-1, 128)  # 64 positions * 2 lanes per row
+        if n_rhs >= 3:
+            parts = [
+                self._combine_flat(flat[r: r + 2], refd)
+                for r in range(0, n_rhs, 2)
+            ]
+            return jnp.concatenate(parts, axis=0)
 
-            def pick2(nm):
-                rows_all = refd["rows" + nm + "R2"]
-                lane_all = refd["lane" + nm + "R2"]
+        if n_rhs == 2:
+            R = n_rhs
+            W = 128 // R
+            Lpos = self._lpad(R)
+            flat = jnp.pad(flat, ((0, 0), (0, Lpos - flat.shape[1])))
+            fT = jnp.moveaxis(flat, 0, 1)  # (Lpos, R)
+            f2p = fT.reshape(-1, W * R)  # W positions * R lanes per row
+            if W * R < 128:  # non-divisor R: dead trailing lanes
+                f2p = jnp.pad(f2p, ((0, 0), (0, 128 - W * R)))
+
+            def pickR(nm):
+                rows_all = refd[f"rows{nm}R{R}"]
+                lane_all = refd[f"lane{nm}R{R}"]
                 G, C = lane_all.shape[0], lane_all.shape[1]
                 if G == 0:
                     return jnp.zeros((n_rhs, 0), flat.dtype)
@@ -847,13 +858,13 @@ class EqlbEngine:
                         rows_all, g0 * 1024 * C, g1 * 1024 * C)
                     lane = jax.lax.slice_in_dim(lane_all, g0, g1)
                     rg = f2p[rows_flat].reshape(g1 - g0, 8, 128, C, 128)
-                    segs.append(lane_select_multi(rg, lane, 2))
+                    segs.append(lane_select_multi(rg, lane, R))
                 out = (segs[0] if len(segs) == 1
                        else jnp.concatenate(segs, axis=1))
                 return out.reshape(n_rhs, -1)
 
-            x = pick2("01")[:, :ndofs]
-            tail = pick2("2")[:, : ndofs - cm["nfk"]]
+            x = pickR("01")[:, :ndofs]
+            tail = pickR("2")[:, : ndofs - cm["nfk"]]
             return x.at[:, cm["nfk"] :].add(tail)
 
         flat = jnp.pad(flat, ((0, 0), (0, cm["Lpad"] - flat.shape[1])))

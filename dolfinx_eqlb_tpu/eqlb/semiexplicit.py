@@ -248,9 +248,25 @@ def mass_matrices_bl(engine, key, dv, refd):
     return Mc * signs[:, :, None] * signs[:, None, :]
 
 
+def _bx(a, n_rhs):
+    """Broadcast a geometry tensor (..., P) along the folded RHS axis ->
+    (..., n_rhs*P).  RHS-major fold (x = r*P + p): inside XLA fusion this is
+    a free broadcast (an index computation), never a materialised copy."""
+    if n_rhs == 1:
+        return a
+    P = a.shape[-1]
+    return jnp.broadcast_to(
+        a[..., None, :], a.shape[:-1] + (n_rhs, P)
+    ).reshape(a.shape[:-1] + (n_rhs * P,))
+
+
 def load_moments_bl(engine, key, dprT, dv, refd, src_packed=None):
-    """Data-dependent canonical load moments, batch-last:
-    Fv (n_rhs, n, nkeep, P), Fq (n_rhs, n, ndg, P).
+    """Data-dependent canonical load moments, batch-last with the RHS axis
+    FOLDED into the lane dimension: Fv (n, nkeep, X), Fq (n, ndg, X) where
+    X = n_rhs * P (RHS-major).  Multi-RHS work thus rides the 128-lane axis
+    like extra patches — a leading n_rhs axis made every downstream op a
+    per-RHS relayout (measured: the reduced solve went 84 -> 286 ms from
+    1 -> 3 RHS at 1M cells before the fold).
 
     Args: dprT (n_rhs, 3, ndg, nc) — packed [sigma_proj rows 0/1 | rhs] so
     one gather per bucket fetches all per-cell data.  ``src_packed``
@@ -266,69 +282,67 @@ def load_moments_bl(engine, key, dprT, dv, refd, src_packed=None):
     (0.018 absolute error at 0.014 data scale vs the f64 NumPy reference;
     the broadcast form is bit-clean)."""
     dt = engine.dtype
-    J = dv["J_bl"]  # (n, 2, 2, P)
-    K = dv["K_bl"]
     detJ = dv["detJ_bl"]  # (n, P)
-    signs = dv["signs_bl"]  # (n, nkeep, P)
-    adet = jnp.abs(detJ)
-    sdet = jnp.sign(detJ)
-
     n_rhs, _, ndg, nc = dprT.shape
     cb = dv["cells_bl"]  # (n, P)
+    n, P = cb.shape
+    J = _bx(dv["J_bl"], n_rhs)  # (n, 2, 2, X)
+    K = _bx(dv["K_bl"], n_rhs)
+    signs = _bx(dv["signs_bl"], n_rhs)  # (n, nkeep, X)
+    adet = _bx(jnp.abs(detJ), n_rhs)  # (n, X)
+    sdet = _bx(jnp.sign(detJ), n_rhs)
+    combo = _bx(dv["combo_bl"], n_rhs)  # (n, X)
+
     if src_packed is not None:
         # cell-major row gather: one 512 B granule per patch-cell instance
         # (source is 128-lane padded; slice back to the logical width)
         rows = src_packed[cb.reshape(-1)][:, : n_rhs * 3 * ndg]
-        g = jnp.moveaxis(rows, -1, 0).reshape(
-            n_rhs, 3, ndg, cb.shape[0], cb.shape[1])
+        g = jnp.transpose(
+            rows.reshape(n, P, n_rhs, 3, ndg), (3, 4, 0, 2, 1)
+        ).reshape(3, ndg, n, n_rhs * P)
     else:
         # 2D-source lane gather fallback (batch-major legacy paths): a >=3D
         # source makes XLA materialize the output with the patch-cell axis
         # minor and the tiny data dims tile-padded 28x (OOM at 1M cells);
         # the flattened (r*3*ndg, nc) form pads only 9 -> 16 sublanes
         g = dprT.reshape(n_rhs * 3 * ndg, nc)[:, cb.reshape(-1)]
-        g = g.reshape(n_rhs, 3, ndg, cb.shape[0], cb.shape[1])
-    dpg = g[:, :2]  # (n_rhs, 2, ndg, n, P)
-    frg = g[:, 2]  # (n_rhs, ndg, n, P)
+        g = g.reshape(n_rhs, 3, ndg, n, P)
+        g = jnp.moveaxis(g, 0, 3).reshape(3, ndg, n, n_rhs * P)
+    dpg = g[:2]  # (2, ndg, n, X)
+    frg = g[2]  # (ndg, n, X)
 
-    # dpJ[r,b,m,c,x] = sum_a dpg[r,a,m,c,x] * J[c,a,b,x]
+    # dpJ[b,m,c,x] = sum_a dpg[a,m,c,x] * J[c,a,b,x]
     dpJ = jnp.stack(
         [
-            dpg[:, 0] * J[:, 0, 0][None, None]
-            + dpg[:, 1] * J[:, 1, 0][None, None],
-            dpg[:, 0] * J[:, 0, 1][None, None]
-            + dpg[:, 1] * J[:, 1, 1][None, None],
+            dpg[0] * J[:, 0, 0][None] + dpg[1] * J[:, 1, 0][None],
+            dpg[0] * J[:, 0, 1][None] + dpg[1] * J[:, 1, 1][None],
         ],
-        axis=1,
-    )
+        axis=0,
+    )  # (2, ndg, n, X)
     Fv = Fq = gpsi = None
     for q in range(6):
-        wq = (dv["combo_bl"] == q).astype(dt)  # (n, P)
+        wq = (combo == q).astype(dt)  # (n, X)
         Rq = refd["RhatC"][q]  # (m, b, i)
         tv = jnp.sum(
-            dpJ[:, :, :, :, None, :]
-            * jnp.transpose(Rq, (1, 0, 2))[None, :, :, None, :, None],
-            axis=(1, 2),
-        )  # (r, c, i, x)
+            dpJ[:, :, :, None, :]
+            * jnp.transpose(Rq, (1, 0, 2))[:, :, None, :, None],
+            axis=(0, 1),
+        )  # (c, i, x)
         tq = jnp.sum(
-            frg[:, :, :, None, :]
-            * refd["T3C"][q][None, :, None, :, None],
-            axis=1,
-        )  # (r, c, p, x)
+            frg[:, :, None, :] * refd["T3C"][q][:, None, :, None],
+            axis=0,
+        )  # (c, p, x)
         hg = refd["hatgC"][q]
         tg = (K[:, 0] * hg[0] + K[:, 1] * hg[1]) * wq[:, None]  # (c, a, x)
-        tvw = tv * wq[None, :, None]
-        tqw = tq * wq[None, :, None]
+        tvw = tv * wq[:, None]
+        tqw = tq * wq[:, None]
         Fv = tvw if Fv is None else Fv + tvw
         Fq = tqw if Fq is None else Fq + tqw
         gpsi = tg if gpsi is None else gpsi + tg
     Fv = Fv * sdet[:, None] * signs
-    # gradient term: sum_a gpsi[c,a,x] * dpg[r,a,p,c,x]
-    contr = (
-        dpg[:, 0] * gpsi[:, 0][None, None]
-        + dpg[:, 1] * gpsi[:, 1][None, None]
-    )
-    Fq = (Fq + jnp.moveaxis(contr, 1, 2)) * adet[:, None]
+    # gradient term: sum_a gpsi[c,a,x] * dpg[a,p,c,x]
+    contr = dpg[0] * gpsi[:, 0][None] + dpg[1] * gpsi[:, 1][None]  # (p, c, x)
+    Fq = (Fq + jnp.moveaxis(contr, 0, 1)) * adet[:, None]
     return Fv, Fq
 
 
@@ -344,25 +358,31 @@ def element_data_bl(engine, key, dprT, dv, refd, src_packed=None):
 
 
 def boundary_ess_bl(engine, key, facet_kind, bvals, dv, refd):
-    """(ess (n_rhs, 2, P) bool, hatvals (n_rhs, 2, k, P)) for a boundary
-    bucket: essential markers and hat-weighted dof values of the two
-    boundary spokes."""
+    """(ess (2, X) bool, hatvals (2, k, X)) for a boundary bucket (folded
+    X = n_rhs*P lane axis): essential markers and hat-weighted dof values
+    of the two boundary spokes."""
     k = engine.k
     dt = engine.dtype
     bsp = dv["bspokes"]  # (P, 2)
+    n_rhs = facet_kind.shape[0]
+    P = bsp.shape[0]
     kind = facet_kind[:, bsp]  # (n_rhs, P, 2)
     z_lo = dv["z_is_lo"]  # (P, 2)
     scale = jnp.asarray(2.0 * np.arange(k) + 1.0, dt)
     alpha = bvals[:, bsp] * scale  # (n_rhs, P, 2, k)
     Wend = refd["Wend"]  # (2, k, k)
     Wsel = jnp.where(z_lo[..., None, None], Wend[0], Wend[1])
-    hatvals = jnp.einsum("rpej,pejm->remp", alpha, Wsel)  # (n_rhs,2,k,P)
-    return jnp.moveaxis(kind == 2, 1, -1), hatvals
+    hatvals = jnp.einsum("rpej,pejm->emrp", alpha, Wsel).reshape(
+        2, k, n_rhs * P
+    )
+    ess = jnp.transpose(kind == 2, (2, 0, 1)).reshape(2, n_rhs * P)
+    return ess, hatvals
 
 
 def particular_bl(engine, key, Fq, ess, hatvals, dv):
-    """Explicit step, batch-last: (n_rhs, nflux, P) satisfying the
-    divergence constraints and the essential boundary dofs."""
+    """Explicit step on the folded lane axis: (nflux, X) satisfying the
+    divergence constraints and the essential boundary dofs
+    (Fq (n, ndg, X), ess (2, X), hatvals (2, k, X))."""
     b = engine.buckets[key]
     st = engine.se_static[key]
     k = engine.k
@@ -370,63 +390,66 @@ def particular_bl(engine, key, Fq, ess, hatvals, dv):
     n, ns = b.ncells, b.nspokes
     ndiv = st["ndiv"]
     dt = engine.dtype
-    P = Fq.shape[-1]
-    n_rhs = Fq.shape[0]
+    X = Fq.shape[-1]
+    P = dv["detJ_bl"].shape[-1]
+    n_rhs = X // P
     nflux = ns * k + n * kk1
 
-    sdet = jnp.sign(dv["detJ_bl"])  # (n, P)
-    sp = jnp.zeros((n_rhs, nflux, P), dt)
+    sdet = _bx(jnp.sign(dv["detJ_bl"]), n_rhs)  # (n, X)
+    gamma = _bx(dv["gamma_bl"], n_rhs)  # (n, X)
+    cum = _bx(dv["cumalpha_bl"], n_rhs)  # (ns, X)
+    sp = jnp.zeros((nflux, X), dt)
 
     # step 1a: divergence cell dofs
     if ndiv:
-        vals = Fq[:, :, 1 : 1 + ndiv] * (
+        vals = Fq[:, 1 : 1 + ndiv] * (
             sdet[:, None] / dv["divdiag"][:, None]
-        )  # (n_rhs, n, ndiv, P)
+        )  # (n, ndiv, X)
         if kk1 > ndiv:
             vals = jnp.concatenate(
-                [vals, jnp.zeros((n_rhs, n, kk1 - ndiv, P), dt)], axis=2
+                [vals, jnp.zeros((n, kk1 - ndiv, X), dt)], axis=1
             )
-        sp = sp.at[:, ns * k :].set(vals.reshape(n_rhs, n * kk1, P))
+        sp = sp.at[ns * k :].set(vals.reshape(n * kk1, X))
 
     # step 1b: spoke constants via the closed-form recursion
-    Fq0 = Fq[:, :, 0]  # (n_rhs, n, P)
-    incl = jnp.cumsum(dv["gamma_bl"][None] * Fq0, axis=1)  # (n_rhs, n, P)
+    Fq0 = Fq[:, 0]  # (n, X)
+    incl = jnp.cumsum(gamma * Fq0, axis=0)  # (n, X)
     rec = jnp.concatenate(
-        [jnp.zeros((n_rhs, 1, P), dt), incl], axis=1
-    )[:, :ns] * dv["cumalpha_bl"][None]
-    cum = dv["cumalpha_bl"]  # (ns, P)
+        [jnp.zeros((1, X), dt), incl], axis=0
+    )[:ns] * cum
     if b.is_boundary:
-        hv0 = hatvals[:, 0, 0]  # (n_rhs, P)
-        hv1 = hatvals[:, 1, 0]
-        ess0, ess1 = ess[:, 0], ess[:, 1]  # (n_rhs, P)
+        hv0 = hatvals[0, 0]  # (X,)
+        hv1 = hatvals[1, 0]
+        ess0, ess1 = ess[0], ess[1]  # (X,)
         s0 = jnp.where(
             ess0, hv0,
-            jnp.where(ess1, (hv1 - rec[:, -1]) / cum[None, -1], 0.0),
+            jnp.where(ess1, (hv1 - rec[-1]) / cum[-1], 0.0),
         )
-        sig0 = rec + cum[None] * s0[:, None]
+        sig0 = rec + cum * s0[None]
         # pure-Neumann patches: both ends pinned; the recursion reproduces
         # the far pin only up to the data-compatibility residual — enforce
         # the BC exactly (the residual lands in the last cell's constant
         # divergence moment, as in the reference's step 1)
-        sig0 = sig0.at[:, -1].set(jnp.where(ess0 & ess1, hv1, sig0[:, -1]))
+        sig0 = sig0.at[-1].set(jnp.where(ess0 & ess1, hv1, sig0[-1]))
     else:
         sig0 = rec
-    sp = sp.at[:, 0 : ns * k : k].set(sig0)
+    sp = sp.at[0 : ns * k : k].set(sig0)
 
     # higher essential moments on the two boundary spokes
     if b.is_boundary and k > 1:
         for e, spj in ((0, 0), (1, ns - 1)):
             rows = spj * k + np.arange(1, k)
-            sp = sp.at[:, rows].set(
-                jnp.where(ess[:, e, None], hatvals[:, e, 1:], 0.0)
+            sp = sp.at[rows].set(
+                jnp.where(ess[e][None], hatvals[e, 1:], 0.0)
             )
     return sp
 
 
 def reduced_system_bl(engine, key, Mc, dv, resid=None, matrix=True):
     """A_z = Z^T M Z (Dz, Dz, P) and, given the canonical per-cell load
-    residual ``resid`` (n_rhs, n, nkeep, P), b_z = Z^T resid (Dz, n_rhs, P).
-    ``matrix=False`` skips A_z (engine serves it from the device cache)."""
+    residual ``resid`` (n, nkeep, X) on the FOLDED lane axis,
+    b_z = Z^T resid (Dz, X).  ``matrix=False`` skips A_z (engine serves it
+    from the device cache)."""
     b = engine.buckets[key]
     st = engine.se_static[key]
     k = engine.k
@@ -436,13 +459,11 @@ def reduced_system_bl(engine, key, Mc, dv, resid=None, matrix=True):
     Dz = st["Dz"]
     U = st["uslots"]
     d0 = dv["cumalpha_bl"]  # (ns, P)
+    n_rhs = 1 if resid is None else resid.shape[-1] // P
+    d0x = _bx(d0, n_rhs)
 
     Az = jnp.zeros((Dz, Dz, P), dt) if matrix else None
-    # bz accumulated batch-major (n_rhs, Dz, P) with ONE final transpose:
-    # a per-cell swapaxes inside the loop lowers to a relayout copy per
-    # cell at n_rhs > 1 (measured +118 ms at 1M cells, n_rhs=3)
-    bzr = None if resid is None else jnp.zeros(
-        (resid.shape[0], Dz, P), dt)
+    bz = None if resid is None else jnp.zeros((Dz, resid.shape[-1]), dt)
     for i in range(n):
         Mi = Mc[i]  # (nkeep, nkeep, P)
         wen = d0[i]
@@ -461,11 +482,10 @@ def reduced_system_bl(engine, key, Mc, dv, resid=None, matrix=True):
                 + wex**2 * Mi[k, k]
             )
         if resid is not None:
-            ri = resid[:, i]  # (n_rhs, nkeep, P)
+            ri = resid[i]  # (nkeep, X)
             if len(U):
-                bzr = bzr.at[:, C_i].add(ri[:, U])
-            bzr = bzr.at[:, 0].add(wen * ri[:, 0] + wex * ri[:, k])
-    bz = None if bzr is None else jnp.moveaxis(bzr, 0, 1)
+                bz = bz.at[C_i].add(ri[U])
+            bz = bz.at[0].add(d0x[i] * ri[0] + d0x[st["exit_idx"][i]] * ri[k])
     return Az, bz
 
 
@@ -489,12 +509,36 @@ def z_mask_bl(engine, key, ess):
     return free
 
 
+def z_mask_x(engine, key, ess):
+    """Folded-lane variant of :func:`z_mask_bl`: ess (2, X) -> (Dz, X)
+    True = column active."""
+    b = engine.buckets[key]
+    st = engine.se_static[key]
+    k = engine.k
+    Dz = st["Dz"]
+    X = ess.shape[-1]
+    free = jnp.ones((Dz, X), dtype=bool)
+    ess0, ess1 = ess[0], ess[1]  # (X,)
+    free = free.at[0].set(~(ess0 | ess1))
+    if k > 1:
+        ns = b.nspokes
+        free = free.at[1:k].set(~ess0[None])
+        rows = 1 + (ns - 1) * (k - 1) + np.arange(k - 1)
+        free = free.at[rows].set(~ess1[None])
+    return free
+
+
 def solve_bucket_semiexplicit(
     engine, key, dprT, facet_kind, bvals, dv, refd, src_packed=None
 ):
     """Full reduced solve of one bucket (batch-last packed input
     dprT (n_rhs, 3, ndg, nc) = [sigma_proj | rhs]) ->
-    (n_rhs, nflux, P) patch dofs, batch-last."""
+    (n_rhs, nflux, P) patch dofs, batch-last.
+
+    Internally the whole pipeline runs on the FOLDED lane axis X = n_rhs*P
+    (RHS-major): multi-RHS problems are just more lanes, so every stage is
+    the n_rhs == 1 program at a wider batch — no leading-RHS relayouts
+    (measured: 3-RHS reduced solve 286 -> ~110 ms at 1M cells)."""
     b = engine.buckets[key]
     st = engine.se_static[key]
     k = engine.k
@@ -508,20 +552,19 @@ def solve_bucket_semiexplicit(
         ess, hatvals = boundary_ess_bl(engine, key, facet_kind, bvals, dv, refd)
     else:
         ess = hatvals = None
-    sp = particular_bl(engine, key, Fq, ess, hatvals, dv)
+    sp = particular_bl(engine, key, Fq, ess, hatvals, dv)  # (nflux, X)
 
     pidx = engine.tables[key]["patch_idx"]  # (n, nkeep) static
-    sp_can = sp[:, pidx]  # (n_rhs, n, nkeep, P)
+    sp_can = sp[pidx]  # (n, nkeep, X)
     # explicit b-reduce instead of an einsum: the dot_general lowering of
-    # the tiny per-point (nkeep x nkeep) contraction relayouts/pads at
-    # n_rhs > 1 (measured +73 ms at 1M cells, n_rhs=3; the broadcast form
-    # is bandwidth-bound at any n_rhs)
+    # the tiny per-point (nkeep x nkeep) contraction relayouts/pads
+    # (the broadcast form is bandwidth-bound)
     nkeep = Mc.shape[1]
     msp = None
     for bcol in range(nkeep):
-        t = Mc[:, :, bcol, :][None] * sp_can[:, :, bcol, None, :]
+        t = _bx(Mc[:, :, bcol, :], n_rhs) * sp_can[:, bcol, None, :]
         msp = t if msp is None else msp + t
-    resid = Fv - msp
+    resid = Fv - msp  # (n, nkeep, X)
 
     if "Az_bl" in dv:
         _, bz = reduced_system_bl(engine, key, Mc, dv, resid=resid,
@@ -530,20 +573,17 @@ def solve_bucket_semiexplicit(
     else:
         Az, bz = reduced_system_bl(engine, key, Mc, dv, resid=resid)
     Dz = st["Dz"]
+    X = n_rhs * P
 
     if b.is_boundary:
-        free = z_mask_bl(engine, key, ess)  # (n_rhs, Dz, P)
-        freeT = jnp.moveaxis(free, 0, 1)  # (Dz, n_rhs, P)
-        ff = freeT[:, None] & freeT[None, :]  # (Dz, Dz, n_rhs, P)
+        free = z_mask_x(engine, key, ess)  # (Dz, X)
+        ff = free[:, None] & free[None, :]  # (Dz, Dz, X)
         eye = jnp.eye(Dz, dtype=dt)
-        Ar = jnp.where(ff, Az[:, :, None], 0.0) + eye[:, :, None, None] * (
-            ~freeT[None]
+        Ar = jnp.where(ff, _bx(Az, n_rhs), 0.0) + eye[:, :, None] * (
+            ~free[None]
         )
-        br = jnp.where(freeT, bz, 0.0)
-        y = engine._dense_solve_bl(
-            Ar.reshape(Dz, Dz, n_rhs * P), br.reshape(Dz, 1, n_rhs * P)
-        )
-        y = y.reshape(Dz, n_rhs, P)
+        br = jnp.where(free, bz, 0.0)
+        y = engine._dense_solve_bl(Ar, br[:, None, :])[:, 0]  # (Dz, X)
     elif "Ainv_bl" in dv:
         # geometry-only system with a cached explicit inverse.  Explicit
         # j-sum instead of an einsum/dot: the fused dot lowering reads the
@@ -552,29 +592,38 @@ def solve_bucket_semiexplicit(
         Ainv = dv["Ainv_bl"]
         y = None
         for j in range(Dz):
-            t = Ainv[:, j, None, :] * bz[j][None, :, :]  # (Dz, n_rhs, P)
+            t = _bx(Ainv[:, j], n_rhs) * bz[j][None]  # (Dz, X)
             y = t if y is None else y + t
     else:
         # geometry-only matrix: factorise once, solve every RHS
-        y = engine._dense_solve_bl(Az, bz)  # (Dz, n_rhs, P)
+        y = engine._dense_solve_bl(
+            _bx(Az, n_rhs), bz[:, None, :]
+        )[:, 0]  # (Dz, X)
 
     sol = sp
     if Dz > 1:
-        yu = jnp.moveaxis(y[1:], 1, 0)  # (n_rhs, Dz-1, P)
-        sol = sol.at[:, st["sel"]].add(yu)
-    sol = sol.at[:, 0 : ns * k : k].add(
-        y[0][:, None] * dv["cumalpha_bl"][None]
+        sol = sol.at[st["sel"]].add(y[1:])
+    sol = sol.at[0 : ns * k : k].add(
+        y[0][None] * _bx(dv["cumalpha_bl"], n_rhs)
     )
-    return sol
+    # unfold X -> (n_rhs, nflux, P) for the combine/stress consumers
+    return jnp.moveaxis(sol.reshape(-1, n_rhs, P), 1, 0)
 
 
 def reduced_flux_system(engine, key, Mc_bm, dv, resid=None):
     """Batch-major convenience wrapper for the stress path: Mc_bm
     (P, n, nkeep, nkeep) -> Az (P, Dz, Dz) [and bz (n_rhs, P, Dz)]."""
     Mc = jnp.moveaxis(Mc_bm, 0, -1)
-    rs = None if resid is None else jnp.moveaxis(resid, 1, -1)
+    if resid is None:
+        Az, _ = reduced_system_bl(engine, key, Mc, dv)
+        return jnp.moveaxis(Az, -1, 0), None
+    n_rhs, P = resid.shape[0], Mc.shape[-1]
+    # batch-major resid (n_rhs, P, n, nkeep) -> folded (n, nkeep, n_rhs*P)
+    rs = jnp.transpose(resid, (2, 3, 0, 1)).reshape(
+        resid.shape[2], resid.shape[3], n_rhs * P
+    )
     Az, bz = reduced_system_bl(engine, key, Mc, dv, resid=rs)
     return (
         jnp.moveaxis(Az, -1, 0),
-        None if bz is None else jnp.einsum("drp->rpd", bz),
+        jnp.moveaxis(bz.reshape(-1, n_rhs, P), 0, -1),  # (n_rhs, P, Dz)
     )

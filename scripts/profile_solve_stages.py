@@ -77,10 +77,14 @@ def main(n=500, k=2):
         return jnp.concatenate([dpT, drT[:, None]], axis=1), fk, bv
 
     def solve_trunc(key, dprT, fk, bv, dv, sp_src, stage):
+        # folded-lane pipeline (X = n_rhs * P, RHS-major) — mirrors
+        # se.solve_bucket_semiexplicit stage by stage
         b = engine.buckets[key]
         st = engine.se_static[key]
         ns = b.nspokes
+        n_rhs = dprT.shape[0]
         Mc, Fv, Fq = se.element_data_bl(engine, key, dprT, dv, refd, sp_src)
+        P = Mc.shape[-1]
         if stage == 1:
             return Fv.ravel()[:1] + Fq.ravel()[:1]
         if b.is_boundary:
@@ -91,8 +95,13 @@ def main(n=500, k=2):
         if stage == 2:
             return sp.ravel()[:1] + Fv.ravel()[:1]
         pidx = engine.tables[key]["patch_idx"]
-        sp_can = sp[:, pidx]
-        resid = Fv - jnp.einsum("cabx,rcbx->rcax", Mc, sp_can)
+        sp_can = sp[pidx]  # (n, nkeep, X)
+        nkeep = Mc.shape[1]
+        msp = None
+        for bcol in range(nkeep):
+            t = se._bx(Mc[:, :, bcol, :], n_rhs) * sp_can[:, bcol, None, :]
+            msp = t if msp is None else msp + t
+        resid = Fv - msp
         if stage == 3:
             return resid.ravel()[:1] + sp.ravel()[:1]
         _, bz = se.reduced_system_bl(engine, key, Mc, dv, resid=resid,
@@ -101,32 +110,27 @@ def main(n=500, k=2):
             return bz.ravel()[:1] + sp.ravel()[:1]
         Dz = st["Dz"]
         if b.is_boundary:
-            free = se.z_mask_bl(engine, key, ess)
-            freeT = jnp.moveaxis(free, 0, 1)
-            ff = freeT[:, None] & freeT[None, :]
+            free = se.z_mask_x(engine, key, ess)  # (Dz, X)
+            ff = free[:, None] & free[None, :]
             Az = dv["Az_bl"]
             eye = jnp.eye(Dz, dtype=engine.dtype)
-            Ar = jnp.where(ff, Az[:, :, None], 0.0) + eye[:, :, None, None] * (
-                ~freeT[None])
-            br = jnp.where(freeT, bz, 0.0)
-            n_rhs, P = free.shape[0], free.shape[2]
-            y = engine._dense_solve_bl(
-                Ar.reshape(Dz, Dz, n_rhs * P), br.reshape(Dz, 1, n_rhs * P))
-            y = y.reshape(Dz, n_rhs, P)
+            Ar = jnp.where(ff, se._bx(Az, n_rhs), 0.0) + eye[:, :, None] * (
+                ~free[None])
+            br = jnp.where(free, bz, 0.0)
+            y = engine._dense_solve_bl(Ar, br[:, None, :])[:, 0]
         else:
             Ainv = dv["Ainv_bl"]
             y = None
             for j in range(Dz):
-                t = Ainv[:, j, None, :] * bz[j][None, :, :]
+                t = se._bx(Ainv[:, j], n_rhs) * bz[j][None]
                 y = t if y is None else y + t
         if stage == 5:
             return y.ravel()[:1] + sp.ravel()[:1]
         sol = sp
         if Dz > 1:
-            yu = jnp.moveaxis(y[1:], 1, 0)
-            sol = sol.at[:, st["sel"]].add(yu)
-        sol = sol.at[:, 0: ns * k: k].add(
-            y[0][:, None] * dv["cumalpha_bl"][None])
+            sol = sol.at[st["sel"]].add(y[1:])
+        sol = sol.at[0: ns * k: k].add(
+            y[0][None] * se._bx(dv["cumalpha_bl"], n_rhs))
         return sol.ravel()[:1]
 
     def seg(dprT, fk, bv, dev, stage):

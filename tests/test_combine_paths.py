@@ -15,7 +15,7 @@ from dolfinx_eqlb_tpu.fem import FunctionSpace
 from dolfinx_eqlb_tpu.mesh import unit_square
 
 
-@pytest.mark.parametrize("n_rhs", [1, 2])
+@pytest.mark.parametrize("n_rhs", [1, 2, 3, 5])
 def test_lane_select_matches_elem_gather(n_rhs, monkeypatch):
     msh = unit_square(5)
     V = FunctionSpace(msh, "RT", 2)
