@@ -369,62 +369,14 @@ class ElasticitySolverUP:
             ud_fun.x, jnp.zeros(self.np_)
         ]))
         b = self.load_vector(f_expr)
-        r0 = jnp.where(free, b - self.matvec(x0), 0.0)
         Minv = jnp.where(jnp.abs(self.diag) > 0, 1.0 / jnp.abs(self.diag), 1.0)
         if maxiter is None:
             maxiter = 60 * int(np.sqrt(self.nu + self.np_) + 100)
 
-        def Aop(v):
-            return jnp.where(free, self.matvec(jnp.where(free, v, 0.0)), 0.0)
+        from ..fem.krylov import minres
 
-        def minres(x0, r0):
-            # preconditioned MINRES (Paige & Saunders) with M = diag
-            y = Minv * r0
-            beta1 = jnp.sqrt(jnp.dot(r0, y))
-            bnorm = beta1 + atol
-
-            def cond(st):
-                return (st["phibar"] > rtol * bnorm + atol) & (st["it"] < maxiter)
-
-            def body(st):
-                v = st["y"] / st["beta"]
-                Av = Aop(v)
-                alfa = jnp.dot(v, Av)
-                ynew = Minv * Av - (alfa / st["beta"]) * st["y"] \
-                    - (st["beta"] / st["beta_old"]) * st["y_old"]
-                rnew = Av - (alfa / st["beta"]) * st["r"] \
-                    - (st["beta"] / st["beta_old"]) * st["r_old"]
-                beta_new = jnp.sqrt(jnp.maximum(jnp.dot(rnew, ynew), 0.0) + 1e-300)
-                # QR via Givens
-                dbar, epsln = st["dbar"], st["epsln"]
-                oldeps = epsln
-                delta = st["cs"] * dbar + st["sn"] * alfa
-                gbar = st["sn"] * dbar - st["cs"] * alfa
-                epsln = st["sn"] * beta_new
-                dbar = -st["cs"] * beta_new
-                gamma = jnp.sqrt(gbar**2 + beta_new**2) + 1e-300
-                cs = gbar / gamma
-                sn = beta_new / gamma
-                phi = cs * st["phibar"]
-                phibar = sn * st["phibar"]
-                w = (v - oldeps * st["w_old2"] - delta * st["w_old"]) / gamma
-                x = st["x"] + phi * w
-                return dict(
-                    x=x, r=rnew, r_old=st["r"], y=ynew, y_old=st["y"],
-                    beta=beta_new, beta_old=st["beta"], dbar=dbar,
-                    epsln=epsln, cs=cs, sn=sn, phibar=phibar,
-                    w_old=w, w_old2=st["w_old"], it=st["it"] + 1,
-                )
-
-            st0 = dict(
-                x=x0, r=r0, r_old=jnp.zeros_like(r0), y=y,
-                y_old=jnp.zeros_like(r0), beta=beta1, beta_old=1.0,
-                dbar=0.0, epsln=0.0, cs=-1.0, sn=0.0, phibar=beta1,
-                w_old=jnp.zeros_like(r0), w_old2=jnp.zeros_like(r0), it=0,
-            )
-            return jax.lax.while_loop(cond, body, st0)
-
-        st = jax.jit(minres)(x0, r0)
+        st = minres(self.matvec, b, x0, Minv, free, rtol=rtol, atol=atol,
+                    maxiter=maxiter)
         self.last_iterations = int(st["it"])
         self.last_residual = float(st["phibar"])
         x = st["x"]
