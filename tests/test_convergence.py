@@ -40,8 +40,13 @@ def sig_ext(x):  # -grad u
 
 @pytest.mark.parametrize("Eqlb", [FluxEqlbSE, FluxEqlbEV])
 @pytest.mark.parametrize("degree", [1, 2, 3, 4])
-@pytest.mark.parametrize("bc_type", ["dirichlet", "neumann"])
+@pytest.mark.parametrize("bc_type", ["dirichlet", "neumann", "neumann_hom"])
 def test_flux_convergence_rate(Eqlb, degree, bc_type):
+    """BC sweep mirrors the reference's {dirichlet, neumann_hom,
+    neumann_inhom} series (``test_fluxeqlb_convrate.py:100``): the
+    manufactured solution has du/dn = 0 on y in {0, 1}, so ``neumann_hom``
+    exercises the essential-spoke corner where the flux BC value is exactly
+    zero."""
     k = degree
     errs, errs_div, hs = [], [], []
     for n in (2, 4, 8):
@@ -55,6 +60,24 @@ def test_flux_convergence_rate(Eqlb, degree, bc_type):
                 rhs_proj[0], msh.boundary_facets, u_ext, rtol=1e-13
             )
             fcts_prime, bcs = msh.boundary_facets, []
+        elif bc_type == "neumann_hom":
+            from dolfinx_eqlb_tpu.eqlb import fluxbc
+
+            # du/dn vanishes on y in {0, 1}: homogeneous natural BC in the
+            # primal solve, zero-valued ESSENTIAL flux BC in the
+            # equilibration (the corner case of exactly-zero BC data)
+            bottom = msh.locate_boundary_facets(
+                lambda x: np.isclose(x[..., 1], 0.0))
+            top = msh.locate_boundary_facets(
+                lambda x: np.isclose(x[..., 1], 1.0))
+            fcts_prime = np.concatenate([
+                msh.locate_boundary_facets(lambda x: np.isclose(x[..., 0], 0.0)),
+                msh.locate_boundary_facets(lambda x: np.isclose(x[..., 0], 1.0)),
+            ])
+            uh = PoissonSolver(V).solve(
+                rhs_proj[0], fcts_prime, u_ext, rtol=1e-13
+            )
+            bcs = [fluxbc(0.0, bottom, None), fluxbc(0.0, top, None)]
         else:
             from dolfinx_eqlb_tpu.eqlb import fluxbc
             from dolfinx_eqlb_tpu.fem import project_facet_trace
