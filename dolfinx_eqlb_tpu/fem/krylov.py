@@ -15,22 +15,29 @@ import jax.numpy as jnp
 __all__ = ["minres"]
 
 
-def minres(matvec, b, x0, Minv, free, rtol=1e-12, atol=1e-14, maxiter=1000):
+def minres(matvec, b, x0, Minv, free, rtol=1e-12, atol=1e-14, maxiter=1000,
+           operands=None):
     """Jacobi-preconditioned MINRES (Paige & Saunders) on the free dofs.
 
     ``matvec`` is the raw operator; essential dofs are handled by
     projection: the iteration runs on r0 = free * (b - A x0) and keeps the
     constrained components of x fixed at x0.  ``Minv`` must be SPD on the
     free dofs (use 1/|diag| for indefinite systems).  Returns the state
-    dict (x, phibar = preconditioned residual norm, it)."""
-    free = jnp.asarray(free)
+    dict (x, phibar = preconditioned residual norm, it).
 
-    def Aop(v):
-        return jnp.where(free, matvec(jnp.where(free, v, 0.0)), 0.0)
+    ``operands``: optional pytree of device arrays the operator reads,
+    called as ``matvec(v, operands)`` — REQUIRED for large systems so the
+    element tensors enter the jitted loop as arguments, not as baked-in
+    constants (multi-GB lowerings; and the relay TPU backend constant-folds
+    gathers over constant operands incorrectly)."""
+    def apply(v, ops):
+        return matvec(v) if ops is None else matvec(v, ops)
 
-    r0 = jnp.where(free, b - matvec(x0), 0.0)
+    def run(x0, b, Minv, free, ops):
+        def Aop(v):
+            return jnp.where(free, apply(jnp.where(free, v, 0.0), ops), 0.0)
 
-    def run(x0, r0):
+        r0 = jnp.where(free, b - apply(x0, ops), 0.0)
         y = Minv * r0
         beta1 = jnp.sqrt(jnp.dot(r0, y))
         bnorm = beta1 + atol
@@ -78,4 +85,4 @@ def minres(matvec, b, x0, Minv, free, rtol=1e-12, atol=1e-14, maxiter=1000):
         )
         return jax.lax.while_loop(cond, body, st0)
 
-    return jax.jit(run)(x0, r0)
+    return jax.jit(run)(x0, b, Minv, jnp.asarray(free), operands)

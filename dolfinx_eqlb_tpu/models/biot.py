@@ -119,25 +119,36 @@ class BiotSolverUPP:
             jnp.einsum("cii->ci", self.Me_pt))
         self.diag = jnp.concatenate([du, dp, dpt])
 
-    def matvec(self, x):
+    def _operands(self):
+        """Device arrays of the operator, passed into the jitted Krylov
+        loop as ARGUMENTS (baking them in as constants lowers multi-GB
+        programs and the relay TPU backend constant-folds gathers over
+        constant operands incorrectly)."""
+        return dict(Ae_uu=self.Ae_uu, Be=self.Be, Me_pt=self.Me_pt,
+                    Me_ppt=self.Me_ppt, Ke_p=self.Ke_p, cdu=self.cdu,
+                    cdp=self.cdp, cdpt=self.cdpt)
+
+    def matvec(self, x, ops=None):
+        if ops is None:
+            ops = self._operands()
         nu, np_ = self.nu, self.np_
         xu, xp, xpt = x[:nu], x[nu: nu + np_], x[nu + np_:]
-        xue = xu[self.cdu]
-        xpe = xp[self.cdp]
-        xpte = xpt[self.cdpt]
-        yu = jnp.einsum("cij,cj->ci", self.Ae_uu, xue) - jnp.einsum(
-            "cji,cj->ci", self.Be, xpte)
-        yp = -jnp.einsum("cij,cj->ci", self.Ke_p, xpe) + jnp.einsum(
-            "cij,cj->ci", self.Me_ppt, xpte)
+        xue = xu[ops["cdu"]]
+        xpe = xp[ops["cdp"]]
+        xpte = xpt[ops["cdpt"]]
+        yu = jnp.einsum("cij,cj->ci", ops["Ae_uu"], xue) - jnp.einsum(
+            "cji,cj->ci", ops["Be"], xpte)
+        yp = -jnp.einsum("cij,cj->ci", ops["Ke_p"], xpe) + jnp.einsum(
+            "cij,cj->ci", ops["Me_ppt"], xpte)
         ypt = (
-            -jnp.einsum("cij,cj->ci", self.Be, xue)
-            + jnp.einsum("cji,cj->ci", self.Me_ppt, xpe)
-            - jnp.einsum("cij,cj->ci", self.Me_pt, xpte)
+            -jnp.einsum("cij,cj->ci", ops["Be"], xue)
+            + jnp.einsum("cji,cj->ci", ops["Me_ppt"], xpe)
+            - jnp.einsum("cij,cj->ci", ops["Me_pt"], xpte)
         )
         return jnp.concatenate([
-            jnp.zeros(self.nu).at[self.cdu].add(yu),
-            jnp.zeros(self.np_).at[self.cdp].add(yp),
-            jnp.zeros(self.npt).at[self.cdpt].add(ypt),
+            jnp.zeros(self.nu).at[ops["cdu"]].add(yu),
+            jnp.zeros(self.np_).at[ops["cdp"]].add(yp),
+            jnp.zeros(self.npt).at[ops["cdpt"]].add(ypt),
         ])
 
     def load_vector(self, f_expr, g_expr):
@@ -180,7 +191,8 @@ class BiotSolverUPP:
         if maxiter is None:
             maxiter = 90 * int(np.sqrt(self.nu + self.np_ + self.npt) + 100)
         st = minres(self.matvec, b, x0, Minv, jnp.asarray(free),
-                    rtol=rtol, atol=atol, maxiter=maxiter)
+                    rtol=rtol, atol=atol, maxiter=maxiter,
+                    operands=self._operands())
         self.last_iterations = int(st["it"])
         self.last_residual = float(st["phibar"])
         x = st["x"]

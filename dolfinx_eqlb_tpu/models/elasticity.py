@@ -321,20 +321,29 @@ class ElasticitySolverUP:
         ) / pi_1
         self.diag = jnp.concatenate([du, dp])
 
-    def matvec(self, x):
+    def _operands(self):
+        """Operator arrays, passed as jit ARGUMENTS to the Krylov loop (see
+        fem.krylov.minres: constants lower multi-GB programs and miscompile
+        constant-operand gathers on the relay TPU backend)."""
+        return dict(Ae_uu=self.Ae_uu, Be=self.Be, Me_p=self.Me_p,
+                    cdu=self.cdu, cdp=self.cdp)
+
+    def matvec(self, x, ops=None):
+        if ops is None:
+            ops = self._operands()
         xu = x[: self.nu]
         xp = x[self.nu :]
-        xue = xu[self.cdu]
-        xpe = xp[self.cdp]
-        yu = jnp.einsum("cij,cj->ci", self.Ae_uu, xue) + jnp.einsum(
-            "cji,cj->ci", self.Be, xpe
+        xue = xu[ops["cdu"]]
+        xpe = xp[ops["cdp"]]
+        yu = jnp.einsum("cij,cj->ci", ops["Ae_uu"], xue) + jnp.einsum(
+            "cji,cj->ci", ops["Be"], xpe
         )
-        yp = jnp.einsum("cij,cj->ci", self.Be, xue) - (1.0 / self.pi_1) * jnp.einsum(
-            "cij,cj->ci", self.Me_p, xpe
+        yp = jnp.einsum("cij,cj->ci", ops["Be"], xue) - (1.0 / self.pi_1) * jnp.einsum(
+            "cij,cj->ci", ops["Me_p"], xpe
         )
         return jnp.concatenate([
-            jnp.zeros(self.nu).at[self.cdu].add(yu),
-            jnp.zeros(self.np_).at[self.cdp].add(yp),
+            jnp.zeros(self.nu).at[ops["cdu"]].add(yu),
+            jnp.zeros(self.np_).at[ops["cdp"]].add(yp),
         ])
 
     def load_vector(self, f_expr):
@@ -376,7 +385,7 @@ class ElasticitySolverUP:
         from ..fem.krylov import minres
 
         st = minres(self.matvec, b, x0, Minv, free, rtol=rtol, atol=atol,
-                    maxiter=maxiter)
+                    maxiter=maxiter, operands=self._operands())
         self.last_iterations = int(st["it"])
         self.last_residual = float(st["phibar"])
         x = st["x"]
