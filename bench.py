@@ -160,7 +160,10 @@ def _make_data(msh, k, n_fields, stress, biot, dtype):
         # needs physically coupled fields, not f64-grade dofs
         rtol = 1e-10 if dtype == np.float64 else 1e-5
         t0 = time.perf_counter()
-        d_proj, d_rhs = biot_bench_fields(msh, k, rtol=rtol)
+        import jax.numpy as _jnp
+
+        sdt = _jnp.float64 if dtype == np.float64 else _jnp.float32
+        d_proj, d_rhs = biot_bench_fields(msh, k, rtol=rtol, dtype=sdt)
         nf = d_proj.shape[0]
         log(f"biot primal fields: {nf} fields from the coupled solve "
             f"({time.perf_counter()-t0:.1f}s)")

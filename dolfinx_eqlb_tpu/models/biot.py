@@ -52,13 +52,19 @@ class BiotSolverUPP:
     """Monolithic u-p-pt solver; ``solve`` returns (uh, ph, pth)."""
 
     def __init__(self, Vu: FunctionSpace, Vp: FunctionSpace,
-                 Vpt: FunctionSpace, quadrature_degree=None):
+                 Vpt: FunctionSpace, quadrature_degree=None, dtype=None):
+        """``dtype``: device precision of the operator tensors and the
+        Krylov loop (default: f64 under x64, else f32).  The f64 operator
+        of a 1M-cell mesh plus the x64 split pairs exceeds a v5e's 16 GB
+        HBM — large benches pass float32 and a matching rtol."""
         assert Vu.family == "P" and Vu.block_size == 2
         assert Vp.family == "P" and Vp.block_size == 1
         assert Vpt.family == "P" and Vpt.block_size == 1
         assert Vu.degree == Vp.degree and Vpt.degree == Vu.degree - 1, \
             "reference pairing: u, p in CG_k; pt in CG_{k-1}"
         self.Vu, self.Vp, self.Vpt = Vu, Vp, Vpt
+        self.dtype = dtype or (jnp.float64 if jnp.zeros(
+            0).dtype == jnp.float64 else jnp.float32)
         msh = Vu.mesh
         ku = Vu.degree
         qdeg = quadrature_degree or 2 * ku
@@ -78,7 +84,8 @@ class BiotSolverUPP:
             Auu[:, :, a, :, a] += gij
         Auu += np.einsum("ciajb->cibja", gg)
         Auu *= adet[:, None, None, None, None]
-        self.Ae_uu = jnp.asarray(Auu.reshape(nc, 2 * ndu, 2 * ndu))
+        dt = self.dtype
+        self.Ae_uu = jnp.asarray(Auu.reshape(nc, 2 * ndu, 2 * ndu), dt)
 
         tp = Vp.element.tabulate(pts)  # (ndp, nq)
         tgp = Vp.element.tabulate_grad(pts)
@@ -88,14 +95,14 @@ class BiotSolverUPP:
 
         # B[(j_pt),(i,a)] = int pt_j (grad u_i)_a    ((div u, v_pt))
         Be = np.einsum("q,jq,ciaq,c->cjia", w, tpt, gu, adet)
-        self.Be = jnp.asarray(Be.reshape(nc, ndpt, 2 * ndu))
+        self.Be = jnp.asarray(Be.reshape(nc, ndpt, 2 * ndu), dt)
         self.Me_pt = jnp.asarray(
-            np.einsum("q,iq,jq,c->cij", w, tpt, tpt, adet))
+            np.einsum("q,iq,jq,c->cij", w, tpt, tpt, adet), dt)
         self.Me_ppt = jnp.asarray(
-            np.einsum("q,iq,jq,c->cij", w, tp, tpt, adet))  # (nc, ndp, ndpt)
+            np.einsum("q,iq,jq,c->cij", w, tp, tpt, adet), dt)  # (nc, ndp, ndpt)
         Kp = np.einsum("q,ciaq,cjaq,c->cij", w, gp, gp, adet)
         Mp = np.einsum("q,iq,jq,c->cij", w, tp, tp, adet)
-        self.Ke_p = jnp.asarray(Kp + Mp)  # (K_p + M_p) acts together
+        self.Ke_p = jnp.asarray(Kp + Mp, dt)  # (K_p + M_p) acts together
 
         # dof tables ((i, a)-flattened for u, matching Ae_uu)
         cdu = Vu.cell_dofs.astype(np.int64)
@@ -103,19 +110,19 @@ class BiotSolverUPP:
         for i in range(ndu):
             for a in range(2):
                 dofs_ia[:, i * 2 + a] = cdu[:, i] + a * Vu.ndofs_scalar
-        self.cdu = jnp.asarray(dofs_ia)
-        self.cdp = jnp.asarray(Vp.cell_dofs.astype(np.int64))
-        self.cdpt = jnp.asarray(Vpt.cell_dofs.astype(np.int64))
+        self.cdu = jnp.asarray(dofs_ia, jnp.int32)
+        self.cdp = jnp.asarray(Vp.cell_dofs, jnp.int32)
+        self.cdpt = jnp.asarray(Vpt.cell_dofs, jnp.int32)
         self.nu, self.np_, self.npt = Vu.ndofs, Vp.ndofs, Vpt.ndofs
         self._qpts, self._qw = pts, w
-        self._tabu = jnp.asarray(Vu.element.tabulate(pts))
-        self._tabp = jnp.asarray(tp)
+        self._tabu = jnp.asarray(Vu.element.tabulate(pts), dt)
+        self._tabp = jnp.asarray(tp, dt)
 
-        du = jnp.zeros(self.nu).at[self.cdu].add(
+        du = jnp.zeros(self.nu, dt).at[self.cdu].add(
             jnp.einsum("cii->ci", self.Ae_uu))
-        dp = jnp.zeros(self.np_).at[self.cdp].add(
+        dp = jnp.zeros(self.np_, dt).at[self.cdp].add(
             jnp.einsum("cii->ci", self.Ke_p))
-        dpt = jnp.zeros(self.npt).at[self.cdpt].add(
+        dpt = jnp.zeros(self.npt, dt).at[self.cdpt].add(
             jnp.einsum("cii->ci", self.Me_pt))
         self.diag = jnp.concatenate([du, dp, dpt])
 
@@ -146,9 +153,9 @@ class BiotSolverUPP:
             - jnp.einsum("cij,cj->ci", ops["Me_pt"], xpte)
         )
         return jnp.concatenate([
-            jnp.zeros(self.nu).at[ops["cdu"]].add(yu),
-            jnp.zeros(self.np_).at[ops["cdp"]].add(yp),
-            jnp.zeros(self.npt).at[ops["cdpt"]].add(ypt),
+            jnp.zeros(self.nu, yu.dtype).at[ops["cdu"]].add(yu),
+            jnp.zeros(self.np_, yp.dtype).at[ops["cdp"]].add(yp),
+            jnp.zeros(self.npt, ypt.dtype).at[ops["cdpt"]].add(ypt),
         ])
 
     def load_vector(self, f_expr, g_expr):
@@ -163,11 +170,12 @@ class BiotSolverUPP:
         wj = jnp.asarray(self._qw)
         be = adet[:, None, None] * jnp.einsum("q,cqa,iq->cia", wj, fv,
                                               self._tabu)
-        bu = jnp.zeros(self.nu).at[self.cdu].add(
-            be.reshape(len(adet), -1))
+        bu = jnp.zeros(self.nu, self.dtype).at[self.cdu].add(
+            be.reshape(len(adet), -1).astype(self.dtype))
         bpe = adet[:, None] * jnp.einsum("q,cq,iq->ci", wj, gv, self._tabp)
-        bp = jnp.zeros(self.np_).at[self.cdp].add(bpe)
-        return jnp.concatenate([bu, -bp, jnp.zeros(self.npt)])
+        bp = jnp.zeros(self.np_, self.dtype).at[self.cdp].add(
+            bpe.astype(self.dtype))
+        return jnp.concatenate([bu, -bp, jnp.zeros(self.npt, self.dtype)])
 
     def solve(self, f_expr, g_expr, dirichlet_facets, rtol=1e-12, atol=1e-14,
               maxiter=None):
@@ -184,7 +192,7 @@ class BiotSolverUPP:
         free[bdofs_u] = False
         free[bdofs_p] = False
 
-        x0 = jnp.zeros(self.nu + self.np_ + self.npt)
+        x0 = jnp.zeros(self.nu + self.np_ + self.npt, self.dtype)
         b = self.load_vector(f_expr, g_expr)
         Minv = jnp.where(jnp.abs(self.diag) > 0,
                          1.0 / jnp.abs(self.diag), 1.0)
@@ -302,7 +310,8 @@ def biot_fields(uh, ph, pth, f_expr, g_expr, degree_eqlb: int):
             local_projection(Vdg1, rhs_exprs))
 
 
-def biot_bench_fields(msh, k: int, rtol=1e-10, maxiter=20000):
+def biot_bench_fields(msh, k: int, rtol=1e-10, maxiter=20000,
+                      dtype=None):
     """Bench-grade data for the multi-field configuration: solve the Biot
     primal problem on ``msh`` (reference RHS family) and return the dof
     arrays (d_proj (3, nc, 2, ndg), d_rhs (3, nc, ndg)) for
@@ -318,7 +327,7 @@ def biot_bench_fields(msh, k: int, rtol=1e-10, maxiter=20000):
     Vu = FunctionSpace(msh, "P", k, vs=2)
     Vp = FunctionSpace(msh, "P", k)
     Vpt = FunctionSpace(msh, "P", k - 1)
-    solver = BiotSolverUPP(Vu, Vp, Vpt)
+    solver = BiotSolverUPP(Vu, Vp, Vpt, dtype=dtype)
 
     def f_expr(x):
         return np.stack([
