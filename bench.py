@@ -157,13 +157,17 @@ def _make_data(msh, k, n_fields, stress, biot, dtype):
         from dolfinx_eqlb_tpu.models.biot import biot_bench_fields
 
         # f32 compute caps the attainable MINRES residual; the bench only
-        # needs physically coupled fields, not f64-grade dofs
-        rtol = 1e-10 if dtype == np.float64 else 1e-5
+        # needs physically coupled fields, not f64-grade dofs.  maxiter
+        # bounds the one-off setup cost (the gather/scatter-bound matvec
+        # runs ~10 it/s at 6.5M dofs on the relay chip)
+        rtol = 1e-10 if dtype == np.float64 else 1e-4
         t0 = time.perf_counter()
         import jax.numpy as _jnp
 
         sdt = _jnp.float64 if dtype == np.float64 else _jnp.float32
-        d_proj, d_rhs = biot_bench_fields(msh, k, rtol=rtol, dtype=sdt)
+        d_proj, d_rhs = biot_bench_fields(
+            msh, k, rtol=rtol, dtype=sdt,
+            maxiter=20000 if dtype == np.float64 else 3000)
         nf = d_proj.shape[0]
         log(f"biot primal fields: {nf} fields from the coupled solve "
             f"({time.perf_counter()-t0:.1f}s)")

@@ -16,7 +16,7 @@ __all__ = ["minres"]
 
 
 def minres(matvec, b, x0, Minv, free, rtol=1e-12, atol=1e-14, maxiter=1000,
-           operands=None):
+           operands=None, chunk=None):
     """Jacobi-preconditioned MINRES (Paige & Saunders) on the free dofs.
 
     ``matvec`` is the raw operator; essential dofs are handled by
@@ -29,21 +29,33 @@ def minres(matvec, b, x0, Minv, free, rtol=1e-12, atol=1e-14, maxiter=1000,
     called as ``matvec(v, operands)`` — REQUIRED for large systems so the
     element tensors enter the jitted loop as arguments, not as baked-in
     constants (multi-GB lowerings; and the relay TPU backend constant-folds
-    gathers over constant operands incorrectly)."""
+    gathers over constant operands incorrectly).
+
+    ``chunk``: bound each device dispatch to this many iterations and loop
+    on the host, carrying the full Lanczos state — the relay TPU backend
+    kills single executions past a ~10 min watchdog, which an unbounded
+    while_loop over a multi-M-dof system exceeds."""
     def apply(v, ops):
         return matvec(v) if ops is None else matvec(v, ops)
 
-    def run(x0, b, Minv, free, ops):
-        def Aop(v):
-            return jnp.where(free, apply(jnp.where(free, v, 0.0), ops), 0.0)
-
+    def init(x0, b, Minv, free, ops):
         r0 = jnp.where(free, b - apply(x0, ops), 0.0)
         y = Minv * r0
         beta1 = jnp.sqrt(jnp.dot(r0, y))
-        bnorm = beta1 + atol
+        st0 = dict(
+            x=x0, r=r0, r_old=jnp.zeros_like(r0), y=y,
+            y_old=jnp.zeros_like(r0), beta=beta1, beta_old=1.0,
+            dbar=0.0, epsln=0.0, cs=-1.0, sn=0.0, phibar=beta1,
+            w_old=jnp.zeros_like(r0), w_old2=jnp.zeros_like(r0), it=0,
+        )
+        return st0, beta1 + atol
+
+    def run(st0, bnorm, it_stop, Minv, free, ops):
+        def Aop(v):
+            return jnp.where(free, apply(jnp.where(free, v, 0.0), ops), 0.0)
 
         def cond(st):
-            return (st["phibar"] > rtol * bnorm + atol) & (st["it"] < maxiter)
+            return (st["phibar"] > rtol * bnorm + atol) & (st["it"] < it_stop)
 
         def body(st):
             v = st["y"] / st["beta"]
@@ -77,12 +89,21 @@ def minres(matvec, b, x0, Minv, free, rtol=1e-12, atol=1e-14, maxiter=1000,
                 w_old=w, w_old2=st["w_old"], it=st["it"] + 1,
             )
 
-        st0 = dict(
-            x=x0, r=r0, r_old=jnp.zeros_like(r0), y=y,
-            y_old=jnp.zeros_like(r0), beta=beta1, beta_old=1.0,
-            dbar=0.0, epsln=0.0, cs=-1.0, sn=0.0, phibar=beta1,
-            w_old=jnp.zeros_like(r0), w_old2=jnp.zeros_like(r0), it=0,
-        )
         return jax.lax.while_loop(cond, body, st0)
 
-    return jax.jit(run)(x0, b, Minv, jnp.asarray(free), operands)
+    free = jnp.asarray(free)
+    st, bnorm = jax.jit(init)(x0, b, Minv, free, operands)
+    jrun = jax.jit(run)
+    if not chunk:
+        return jrun(st, bnorm, jnp.int32(maxiter), Minv, free, operands)
+    tol = rtol * float(bnorm) + atol
+    it = 0
+    while it < maxiter:
+        it_stop = min(it + chunk, maxiter)
+        # it_stop rides as a device scalar so every chunk reuses one
+        # compiled executable
+        st = jrun(st, bnorm, jnp.int32(it_stop), Minv, free, operands)
+        it = int(st["it"])  # host sync bounds the device dispatch length
+        if float(st["phibar"]) <= tol or it < it_stop:
+            break
+    return st

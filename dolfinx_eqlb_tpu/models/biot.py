@@ -178,7 +178,7 @@ class BiotSolverUPP:
         return jnp.concatenate([bu, -bp, jnp.zeros(self.npt, self.dtype)])
 
     def solve(self, f_expr, g_expr, dirichlet_facets, rtol=1e-12, atol=1e-14,
-              maxiter=None):
+              maxiter=None, chunk=None):
         """Homogeneous essential data u = 0, p = 0 on ``dirichlet_facets``
         (the reference testcase uses zero functions); pt is unconstrained.
         Returns (uh, ph, pth)."""
@@ -200,7 +200,7 @@ class BiotSolverUPP:
             maxiter = 90 * int(np.sqrt(self.nu + self.np_ + self.npt) + 100)
         st = minres(self.matvec, b, x0, Minv, jnp.asarray(free),
                     rtol=rtol, atol=atol, maxiter=maxiter,
-                    operands=self._operands())
+                    operands=self._operands(), chunk=chunk)
         self.last_iterations = int(st["it"])
         self.last_residual = float(st["phibar"])
         x = st["x"]
@@ -311,7 +311,7 @@ def biot_fields(uh, ph, pth, f_expr, g_expr, degree_eqlb: int):
 
 
 def biot_bench_fields(msh, k: int, rtol=1e-10, maxiter=20000,
-                      dtype=None):
+                      dtype=None, chunk=500):
     """Bench-grade data for the multi-field configuration: solve the Biot
     primal problem on ``msh`` (reference RHS family) and return the dof
     arrays (d_proj (3, nc, 2, ndg), d_rhs (3, nc, ndg)) for
@@ -350,7 +350,7 @@ def biot_bench_fields(msh, k: int, rtol=1e-10, maxiter=20000,
         Vdg1, [expr_from_callable(g_expr, msh, value_size=1)],
         quadrature_degree=2 * k + 6)[0]
     uh, ph, pth = solver.solve(fe, ge, msh.boundary_facets, rtol=rtol,
-                               maxiter=maxiter)
+                               maxiter=maxiter, chunk=chunk)
     proj_flux, rhs = biot_fields(uh, ph, pth, fe, ge, k)
 
     ndg = k * (k + 1) // 2
