@@ -157,17 +157,19 @@ def _make_data(msh, k, n_fields, stress, biot, dtype):
         from dolfinx_eqlb_tpu.models.biot import biot_bench_fields
 
         # f32 compute caps the attainable MINRES residual; the bench only
-        # needs physically coupled fields, not f64-grade dofs.  maxiter
-        # bounds the one-off setup cost (the gather/scatter-bound matvec
-        # runs ~10 it/s at 6.5M dofs on the relay chip)
+        # needs physically coupled fields, not f64-grade dofs (the
+        # equilibration invariants and its timing are data-independent).
+        # maxiter bounds the one-off setup cost and chunk=100 keeps each
+        # device dispatch ~10 s: the relay watchdog killed the worker mid
+        # MINRES with 50 s dispatches at 6.5M dofs (~10 it/s)
         rtol = 1e-10 if dtype == np.float64 else 1e-4
         t0 = time.perf_counter()
         import jax.numpy as _jnp
 
         sdt = _jnp.float64 if dtype == np.float64 else _jnp.float32
         d_proj, d_rhs = biot_bench_fields(
-            msh, k, rtol=rtol, dtype=sdt,
-            maxiter=20000 if dtype == np.float64 else 3000)
+            msh, k, rtol=rtol, dtype=sdt, chunk=100,
+            maxiter=20000 if dtype == np.float64 else 1000)
         nf = d_proj.shape[0]
         log(f"biot primal fields: {nf} fields from the coupled solve "
             f"({time.perf_counter()-t0:.1f}s)")

@@ -38,6 +38,7 @@ executable reusable across meshes of identical bucket structure.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import numpy as np
@@ -307,13 +308,23 @@ class EqlbEngine:
         # (3, 12M)[:, 10M-idx] gather costs the same 107 ms as 1-RHS)
         nfk = self.V.mesh.num_facets * self.k
         assert np.all(src[:nfk, 2] == total), "facet dof with 3 contributors"
-        rows01, lane01 = self._shaped_tables(src[:, :2])
-        rows2, lane2 = self._shaped_tables(src[nfk:, 2:])
         self._combine = dict(
-            Lpad=self._lpad(), nfk=nfk, rows01=rows01, lane01=lane01,
-            rows2=rows2, lane2=lane2,
+            Lpad=self._lpad(), nfk=nfk,
             src01=src[:, :2].copy(), src2=src[nfk:, 2:].copy(), total=total,
         )
+        # even k: patch-major PAIR tables halve the gather index count (the
+        # TPU gather is index-rate-bound) — one fetched row serves both dofs
+        # of a facet/cell pair.  Falls back to the flux-major per-dof layout
+        # when the structural preconditions don't hold (odd k, exotic meshes)
+        self._patch_major = (
+            self.k % 2 == 0
+            and not os.environ.get("EQLB_NO_PAIRED_COMBINE")
+            and self._build_paired_tables()
+        )
+        if not self._patch_major:
+            cm = self._combine
+            cm["rows01"], cm["lane01"] = self._shaped_tables(src[:, :2])
+            cm["rows2"], cm["lane2"] = self._shaped_tables(src[nfk:, 2:])
 
         self._dev = None
         self._ref_dev = None
@@ -347,6 +358,78 @@ class EqlbEngine:
             np.ascontiguousarray(np.moveaxis(lane, 3, 1)).astype(np.int32),
         )
 
+    def _build_paired_tables(self) -> bool:
+        """Patch-major pair tables for the combine (even k only).
+
+        In a PATCH-MAJOR flat layout (position = off + p * nflux + f) a
+        patch's flux dofs are contiguous, so the k dofs of one facet — and
+        the k(k-1) interior dofs of one cell — occupy consecutive positions.
+        Global dofs are facet-major (d = facet * k + j) and cell-major, so
+        output dofs ALSO come in adjacent pairs whose contributor positions
+        are adjacent: one gathered 128-lane row serves BOTH dofs of a pair
+        via the lane-select kernel's +1 offset read (lane_select_multi).
+        This halves the gather index count, which is what the TPU gather's
+        throughput is bound by (~220M idx/s, measured locality-independent).
+
+        Evenness of k makes every run (k per facet, k(k-1) per cell) and
+        every block offset even, so pairs never straddle a 128-lane row.
+        Contributor columns are ordered by GLOBAL PATCH ID (pair-invariant,
+        unlike the flux-major (p, f) insertion order), so both dofs of a
+        pair see the same patch in the same column.  Returns False — leaving
+        the flux-major per-dof layout active — if any precondition fails;
+        every condition is re-checked against the actual tables."""
+        ndofs = self.V.ndofs
+        nfk = self._combine["nfk"]
+        if ndofs % 2 or nfk % 2:
+            return False
+        gd_l, pos_l, pid_l = [], [], []
+        offP = 0
+        base = 0
+        flatP_off = {}
+        for key in sorted(self.tables.keys()):
+            g = self.tables[key]["gdofs"]
+            Ppad, nflux = g.shape
+            if nflux % 2 or offP % 2:
+                return False
+            flatP_off[key] = offP
+            pp, ff = np.nonzero((g >= 0) & (g < ndofs))
+            gd_l.append(g[pp, ff].astype(np.int64))
+            pos_l.append(offP + pp.astype(np.int64) * nflux + ff)
+            pid_l.append(base + pp.astype(np.int64))
+            offP += Ppad * nflux
+            base += Ppad
+        gd = np.concatenate(gd_l)
+        pos = np.concatenate(pos_l)
+        pid = np.concatenate(pid_l)
+        order = np.lexsort((pid, gd))
+        gd, pos = gd[order], pos[order]
+        col = np.arange(len(gd)) - np.searchsorted(gd, gd, side="left")
+        if len(col) and col.max() > 2:
+            return False
+        srcP = np.full((ndofs, 3), -1, np.int64)
+        srcP[gd, col] = pos
+        if ((srcP[:, :2] < 0).any() or (srcP[nfk:, 2] < 0).any()
+                or (srcP[:nfk, 2] >= 0).any()):
+            return False
+        ev, od = srcP[0::2], srcP[1::2]
+        if (ev[:, :2] % 2).any() or (od[:, :2] != ev[:, :2] + 1).any():
+            return False
+        c2e, c2o = srcP[nfk::2, 2], srcP[nfk + 1:: 2, 2]
+        if (c2e % 2).any() or (c2o != c2e + 1).any():
+            return False
+        cm = self._combine
+        # elem-gather combine reads the full per-dof tables (now in
+        # patch-major positions); the row-gather paths read the halved
+        # PAIR tables (base position of each 2-run)
+        cm["src01"] = srcP[:, :2].astype(np.int32)
+        cm["src2"] = srcP[nfk:, 2:3].astype(np.int32)
+        cm["pair01"] = np.ascontiguousarray(ev[:, :2]).astype(np.int32)
+        cm["pair2"] = np.ascontiguousarray(c2e[:, None]).astype(np.int32)
+        cm["rows01"], cm["lane01"] = self._shaped_tables(cm["pair01"])
+        cm["rows2"], cm["lane2"] = self._shaped_tables(cm["pair2"])
+        self._flatP_offsets = flatP_off
+        return True
+
     def _use_elem_combine(self, n_rhs: int) -> bool:
         """The batched element-gather combine is used for f64 engines on
         TPU (Mosaic kernels are f32-only) and for EVERYTHING off-TPU: the
@@ -372,8 +455,9 @@ class EqlbEngine:
         if not elem and n_rhs >= 2:
             if 2 in self._packed_R:
                 return
+            src_nm = "pair" if self._patch_major else "src"
             for nm in ("01", "2"):
-                rows, lane = self._shaped_tables(cm["src" + nm], 2)
+                rows, lane = self._shaped_tables(cm[src_nm + nm], 2)
                 refd[f"rows{nm}R2"] = jnp.asarray(rows, jnp.int32)
                 refd[f"lane{nm}R2"] = jnp.asarray(lane, jnp.int32)
             self._packed_R.add(2)
@@ -789,8 +873,17 @@ class EqlbEngine:
                         dev[key], refd,
                     )
                     sol_bl = sol_bl.at[:2].add(jnp.moveaxis(delta, 1, -1))
-            flats.append(sol_bl.reshape(n_rhs, -1))
+            if self._patch_major:
+                # paired combine tables address PATCH-MAJOR positions
+                # (off + p * nflux + f): transpose the batch-last solution
+                flats.append(jnp.moveaxis(sol_bl, -1, 1).reshape(n_rhs, -1))
+            else:
+                flats.append(sol_bl.reshape(n_rhs, -1))
         flat = jnp.concatenate(flats, axis=1)
+        if os.environ.get("EQLB_SKIP_COMBINE"):
+            # timing diagnostic ONLY: drop the dof-combine program tail
+            # (output has the right (n_rhs, ndofs) shape but wrong values)
+            return flat[:, : self.V.ndofs]
         return self._combine_flat(flat, refd)
 
     def _combine_flat(self, flat, refd):
@@ -802,18 +895,23 @@ class EqlbEngine:
         near 128 MB — measured on v5e with the real index tables):
         * n_rhs == 1 — row gather + Pallas lane select (row fetches process
           ~2x the indices/s of element gathers; source ~50 MB at 1M cells);
+          with PAIR tables (even k, see _build_paired_tables) each index
+          serves 2 adjacent dofs, halving the index count again;
         * n_rhs == 2 — the same row gather on the R=2 lane-packed layout
           (64 positions x 2 RHS lanes per row): one fetch serves both RHS
-          and the ~100 MB source still sits under the cache cliff;
+          and the ~100 MB source still sits under the cache cliff; paired,
+          one index serves 2 dofs x 2 RHS (4 offset lanes per select);
         * n_rhs >= 3 — PAIRWISE R=2 passes.  Packing more RHS per row
           pushes the source past the cliff and loses outright (R=3 packed:
           192 ms vs 137 ms elem gather vs ~100 ms pairwise at 1M cells);
           the batched element gather is NOT n_rhs-flat either (the RHS axis
           is major, so each index costs n_rhs separate fetches);
-        * f64-on-TPU / off-TPU — batched element gathers (pure XLA)."""
+        * f64-on-TPU / off-TPU — batched element gathers (pure XLA; the
+          elem tables follow whichever flat layout is active)."""
         n_rhs = flat.shape[0]
         cm = self._combine
         ndofs = self.V.ndofs
+        paired = self._patch_major
 
         if self._use_elem_combine(n_rhs):
             flat = jnp.pad(flat, ((0, 0), (0, cm["Lpad"] - flat.shape[1])))
@@ -823,8 +921,6 @@ class EqlbEngine:
             x = gA + gB
             return x.at[:, cm["nfk"] :].add(g2)
 
-        from ..ops.lane_select import lane_select_multi, lane_select_sum
-
         if n_rhs >= 3:
             parts = [
                 self._combine_flat(flat[r: r + 2], refd)
@@ -833,75 +929,72 @@ class EqlbEngine:
             return jnp.concatenate(parts, axis=0)
 
         if n_rhs == 2:
-            R = n_rhs
-            W = 128 // R
-            Lpos = self._lpad(R)
+            Lpos = self._lpad(2)
             flat = jnp.pad(flat, ((0, 0), (0, Lpos - flat.shape[1])))
-            fT = jnp.moveaxis(flat, 0, 1)  # (Lpos, R)
-            f2p = fT.reshape(-1, W * R)  # W positions * R lanes per row
-            if W * R < 128:  # non-divisor R: dead trailing lanes
-                f2p = jnp.pad(f2p, ((0, 0), (0, 128 - W * R)))
+            # 64 positions x 2 RHS lanes per 128-lane row
+            f2p = jnp.moveaxis(flat, 0, 1).reshape(-1, 128)
+            n_out = 4 if paired else 2  # paired: 2 dofs x 2 RHS per index
 
-            def pickR(nm):
-                rows_all = refd[f"rows{nm}R{R}"]
-                lane_all = refd[f"lane{nm}R{R}"]
-                G, C = lane_all.shape[0], lane_all.shape[1]
-                if G == 0:
-                    return jnp.zeros((n_rhs, 0), flat.dtype)
-                gseg = G
-                if G * 1024 * C * 512 > (6 << 30):
-                    gseg = 4096
-                segs = []
-                for g0 in range(0, G, gseg):
-                    g1 = min(g0 + gseg, G)
-                    rows_flat = jax.lax.slice_in_dim(
-                        rows_all, g0 * 1024 * C, g1 * 1024 * C)
-                    lane = jax.lax.slice_in_dim(lane_all, g0, g1)
-                    rg = f2p[rows_flat].reshape(g1 - g0, 8, 128, C, 128)
-                    segs.append(lane_select_multi(rg, lane, R))
-                out = (segs[0] if len(segs) == 1
-                       else jnp.concatenate(segs, axis=1))
-                return out.reshape(n_rhs, -1)
+            def pick2(nm, npos):
+                out = self._row_gather_select(
+                    f2p, refd[f"rows{nm}R2"], refd[f"lane{nm}R2"], n_out,
+                    flat.dtype)
+                if not paired:
+                    return out[:, :npos]
+                # out[2j + r, i] = value of dof pair-member j, RHS r:
+                # interleave the pair axis into the dof axis
+                arr = out.reshape(2, 2, -1)  # (j, r, npairs)
+                return jnp.moveaxis(arr, 0, -1).reshape(2, -1)[:, :npos]
 
-            x = pickR("01")[:, :ndofs]
-            tail = pickR("2")[:, : ndofs - cm["nfk"]]
+            x = pick2("01", ndofs)
+            tail = pick2("2", ndofs - cm["nfk"])
             return x.at[:, cm["nfk"] :].add(tail)
 
+        # n_rhs == 1
         flat = jnp.pad(flat, ((0, 0), (0, cm["Lpad"] - flat.shape[1])))
-        f2 = flat.reshape(n_rhs, -1, 128)
+        f2 = flat.reshape(-1, 128)
+        n_out = 2 if paired else 1  # paired: both dofs of the pair per index
 
-        def pick(nm):
-            # flat-index gather (the TPU backend rejects >2D index arrays),
-            # reshaped to the select kernel's (G, 8, 128, C, 128) layout.
-            # The index tables are sliced in-jit (static bounds) into
-            # bounded segments when needed so the gathered-row intermediate
-            # stays bounded (one unsegmented gather holds ~5 GB at 1M cells
-            # and OOMs)
-            rows_all = refd["rows" + nm]
-            lane_all = refd["lane" + nm]
-            G, C = lane_all.shape[0], lane_all.shape[1]
-            if G == 0:  # empty contributor class (e.g. no cell dofs at k=1)
-                return jnp.zeros((n_rhs, 0), flat.dtype)
-            gseg = G
-            if G * 1024 * C * 512 > (6 << 30):
-                gseg = 4096
-            segs = []
-            for g0 in range(0, G, gseg):
-                g1 = min(g0 + gseg, G)
-                rows_flat = jax.lax.slice_in_dim(
-                    rows_all, g0 * 1024 * C, g1 * 1024 * C)
-                lane = jax.lax.slice_in_dim(lane_all, g0, g1)
-                rg = f2[:, rows_flat].reshape(
-                    n_rhs, g1 - g0, 8, 128, C, 128)
-                segs.append(jnp.stack(
-                    [lane_select_sum(rg[r], lane) for r in range(n_rhs)]
-                ))
-            out = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
-            return out.reshape(n_rhs, -1)
+        def pick1(nm, npos):
+            out = self._row_gather_select(
+                f2, refd["rows" + nm], refd["lane" + nm], n_out, flat.dtype)
+            if not paired:
+                return out[:, :npos]
+            return jnp.moveaxis(out, 0, -1).reshape(1, -1)[:, :npos]
 
-        x = pick("01")[:, :ndofs]
-        tail = pick("2")[:, : ndofs - cm["nfk"]]
+        x = pick1("01", ndofs)
+        tail = pick1("2", ndofs - cm["nfk"])
         return x.at[:, cm["nfk"] :].add(tail)
+
+    def _row_gather_select(self, f2, rows_all, lane_all, n_out, dtype):
+        """Segmented 128-lane row gather + Pallas lane select epilogue.
+
+        Fetches full rows ``f2[rows]`` (flat-index gather — the TPU backend
+        rejects >2D index arrays) reshaped to the select kernel's
+        (G, 8, 128, C, 128) layout, then emits ``n_out`` consecutive lanes
+        per index (lane_select_multi offsets serve pair partners and packed
+        RHS lanes).  The index tables are sliced in-jit (static bounds)
+        into bounded segments when needed so the gathered-row intermediate
+        stays bounded (one unsegmented gather holds ~5 GB at 1M cells and
+        OOMs).  Returns (n_out, G * 1024)."""
+        from ..ops.lane_select import lane_select_multi
+
+        G, C = lane_all.shape[0], lane_all.shape[1]
+        if G == 0:  # empty contributor class (e.g. no cell dofs at k=1)
+            return jnp.zeros((n_out, 0), dtype)
+        gseg = G
+        if G * 1024 * C * 512 > (6 << 30):
+            gseg = 4096
+        segs = []
+        for g0 in range(0, G, gseg):
+            g1 = min(g0 + gseg, G)
+            rows_flat = jax.lax.slice_in_dim(
+                rows_all, g0 * 1024 * C, g1 * 1024 * C)
+            lane = jax.lax.slice_in_dim(lane_all, g0, g1)
+            rg = f2[rows_flat].reshape(g1 - g0, 8, 128, C, 128)
+            segs.append(lane_select_multi(rg, lane, n_out))
+        out = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
+        return out.reshape(n_out, -1)
 
     # -------------------------------------------------------------------------
 

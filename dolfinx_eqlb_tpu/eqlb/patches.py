@@ -232,6 +232,14 @@ def _bucketize(msh, counts, cells_w, lnode_w, entry_w, exit_w, spokes_w):
             if len(sel) == 0:
                 continue
             ns = n + 1 if b else n
+            # order patches by their smallest spoke facet id: global dofs are
+            # facet-major, so this makes a dof's contributor patches sit at
+            # flat positions near the dof index — the locality the windowed
+            # combine kernel exploits (vertex-id order scatters them: e.g.
+            # the crossed-square generator numbers cell-center vertices in a
+            # separate block ~n^2/2 ids away from the grid corners)
+            sel = sel[np.argsort(
+                spokes_w[sel][:, :ns].min(axis=1), kind="stable")]
             spk = spokes_w[sel][:, : ns].copy()
             if not b:
                 # interior walk closes: last exit spoke equals spoke 0

@@ -471,12 +471,21 @@ def reduced_system_bl(engine, key, Mc, dv, resid=None, matrix=True):
         C_i = st["ucols"][i]
         if matrix:
             if len(U):
-                Az = Az.at[C_i[:, None], C_i[None, :]].add(
-                    Mi[U[:, None], U[None, :]]
-                )
+                # static scalar updates: the 2D outer-index scatter-add
+                # (.at[C_i[:, None], C_i[None, :]]) expands to a one-hot
+                # broadcast (Dz, Dz, P, u, u) whose tiny trailing dims
+                # tile-pad 64x — 8 GB at 131k patches, compile OOM under
+                # the x64 (pallas_mixed) program.  A_z is built once per
+                # engine and cached, so unrolled updates cost nothing at
+                # steady state.
+                for a in range(len(U)):
+                    for c in range(len(U)):
+                        Az = Az.at[int(C_i[a]), int(C_i[c])].add(
+                            Mi[int(U[a]), int(U[c])])
                 mU0 = Mi[U, 0] * wen + Mi[U, k] * wex  # (u, P)
-                Az = Az.at[C_i, 0].add(mU0)
-                Az = Az.at[0, C_i].add(mU0)
+                for a in range(len(U)):
+                    Az = Az.at[int(C_i[a]), 0].add(mU0[a])
+                    Az = Az.at[0, int(C_i[a])].add(mU0[a])
             Az = Az.at[0, 0].add(
                 wen**2 * Mi[0, 0] + 2.0 * wen * wex * Mi[0, k]
                 + wex**2 * Mi[k, k]

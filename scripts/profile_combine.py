@@ -80,7 +80,11 @@ def main(n=500, k=2):
                 sol_bl = se.solve_bucket_semiexplicit(
                     engine, key, dprT, fk, bv, dev[key], refd, src_packed=sp)
                 sol_bl = jax.lax.optimization_barrier(sol_bl)
-                flats.append(sol_bl.reshape(n_rhs, -1))
+                if engine._patch_major:
+                    flats.append(
+                        jnp.moveaxis(sol_bl, -1, 1).reshape(n_rhs, -1))
+                else:
+                    flats.append(sol_bl.reshape(n_rhs, -1))
         flat = jnp.concatenate(flats, axis=1)
         if stage == 1:  # solves + unfold + concat only; full reduction so
             return flat.sum()  # XLA cannot DCE the bucket pipelines

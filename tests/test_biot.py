@@ -121,3 +121,19 @@ def test_biot_bench_fields_shapes():
     assert d_rhs.shape == (3, msh.num_cells, ndg)
     assert np.isfinite(d_proj).all() and np.isfinite(d_rhs).all()
     assert np.abs(d_proj).max() > 1e-3  # real physics, not zeros
+
+
+def test_chunked_minres_matches_unchunked():
+    """Host-chunked MINRES dispatch (the relay watchdog workaround) carries
+    the full Lanczos state across chunk boundaries: results are bit-exact
+    against one unbounded while_loop, including mid-chunk convergence."""
+    import jax.numpy as jnp
+
+    msh = unit_square(5)
+    ref_p, ref_r = biot_bench_fields(msh, 2, rtol=1e-10, maxiter=4000,
+                                     dtype=jnp.float64, chunk=None)
+    for chunk in (37, 4000):  # awkward boundary + converges-mid-chunk
+        d_p, d_r = biot_bench_fields(msh, 2, rtol=1e-10, maxiter=4000,
+                                     dtype=jnp.float64, chunk=chunk)
+        assert float(jnp.max(jnp.abs(ref_p - d_p))) == 0.0, chunk
+        assert float(jnp.max(jnp.abs(ref_r - d_r))) == 0.0, chunk

@@ -15,19 +15,23 @@ from dolfinx_eqlb_tpu.fem import FunctionSpace
 from dolfinx_eqlb_tpu.mesh import unit_square
 
 
+@pytest.mark.parametrize("k", [2, 3, 4])
 @pytest.mark.parametrize("n_rhs", [1, 2, 3, 5])
-def test_lane_select_matches_elem_gather(n_rhs, monkeypatch):
+def test_lane_select_matches_elem_gather(n_rhs, k, monkeypatch):
+    """k = 2, 4 run the paired patch-major tables (engine._patch_major);
+    k = 3 exercises the flux-major per-dof fallback."""
     msh = unit_square(5)
-    V = FunctionSpace(msh, "RT", 2)
+    V = FunctionSpace(msh, "RT", k)
     rng = np.random.default_rng(3)
-    nc, ndg = msh.num_cells, 3
+    nc, ndg = msh.num_cells, k * (k + 1) // 2
     dp = rng.normal(size=(n_rhs, nc, 2, ndg))
     dr = rng.normal(size=(n_rhs, nc, ndg))
     fk = np.where(msh.is_boundary_facet, 1, 0).astype(np.int8)[None].repeat(
         n_rhs, 0)
-    bv = np.zeros((n_rhs, msh.num_facets, 2))
+    bv = np.zeros((n_rhs, msh.num_facets, k))
 
     eng = EqlbEngine(V, build_patches(msh))
+    assert eng._patch_major == (k % 2 == 0)
     x_elem = np.asarray(eng.equilibrate(dp, dr, fk, bv))
 
     monkeypatch.setitem(os.environ, "EQLB_FORCE_LANE_SELECT", "1")
