@@ -443,24 +443,39 @@ class EqlbEngine:
             return "EQLB_FORCE_LANE_SELECT" not in os.environ
         return self.dtype == jnp.float64
 
+    def _pack_plan(self, n_rhs: int):
+        """R values of the lane-packed row-gather passes serving n_rhs
+        fields (mirrors the _combine_flat dispatch)."""
+        if n_rhs < 2 or self._use_elem_combine(n_rhs):
+            return []
+        if not self._patch_major:
+            return [2]
+        plan = {4} if n_rhs > 4 else set()
+        rem = n_rhs % 4 if n_rhs > 4 else n_rhs
+        if rem >= 2:
+            plan.add(rem)
+        return sorted(plan)
+
     def _ensure_combine_tables(self, n_rhs: int):
         """Upload the extra combine index tables the n_rhs > 1 paths need
-        (lazy).  n_rhs >= 2 routes through R=2 lane-packed row gathers
-        (pairwise for n_rhs >= 3); f64 / off-TPU use the element gather."""
+        (lazy).  n_rhs >= 2 routes through R = n_rhs lane-packed row
+        gathers (chunks of <= 4 for n_rhs > 4, pairwise R=2 when unpaired);
+        f64 / off-TPU use the element gather."""
         elem = self._use_elem_combine(n_rhs)
         if n_rhs <= 1 and not elem:
             return
         _, refd = self._device_tables()
         cm = self._combine
         if not elem and n_rhs >= 2:
-            if 2 in self._packed_R:
-                return
             src_nm = "pair" if self._patch_major else "src"
-            for nm in ("01", "2"):
-                rows, lane = self._shaped_tables(cm[src_nm + nm], 2)
-                refd[f"rows{nm}R2"] = jnp.asarray(rows, jnp.int32)
-                refd[f"lane{nm}R2"] = jnp.asarray(lane, jnp.int32)
-            self._packed_R.add(2)
+            for R in self._pack_plan(n_rhs):
+                if R in self._packed_R:
+                    continue
+                for nm in ("01", "2"):
+                    rows, lane = self._shaped_tables(cm[src_nm + nm], R)
+                    refd[f"rows{nm}R{R}"] = jnp.asarray(rows, jnp.int32)
+                    refd[f"lane{nm}R{R}"] = jnp.asarray(lane, jnp.int32)
+                self._packed_R.add(R)
             return
         if self._have_elem_combine:
             return
@@ -897,15 +912,17 @@ class EqlbEngine:
           ~2x the indices/s of element gathers; source ~50 MB at 1M cells);
           with PAIR tables (even k, see _build_paired_tables) each index
           serves 2 adjacent dofs, halving the index count again;
-        * n_rhs == 2 — the same row gather on the R=2 lane-packed layout
-          (64 positions x 2 RHS lanes per row): one fetch serves both RHS
-          and the ~100 MB source still sits under the cache cliff; paired,
-          one index serves 2 dofs x 2 RHS (4 offset lanes per select);
-        * n_rhs >= 3 — PAIRWISE R=2 passes.  Packing more RHS per row
-          pushes the source past the cliff and loses outright (R=3 packed:
-          192 ms vs 137 ms elem gather vs ~100 ms pairwise at 1M cells);
-          the batched element gather is NOT n_rhs-flat either (the RHS axis
-          is major, so each index costs n_rhs separate fetches);
+        * n_rhs in {2, 3, 4} with PAIR tables — ONE R = n_rhs lane-packed
+          pass: rows hold 128 // R positions x R RHS lanes, so one index
+          serves 2 dofs x R RHS (2R offset lanes per select) and the index
+          count for ALL fields equals the 1-field count (3-field combine:
+          ~127 ms as pairwise R=2+R=1 passes -> one R=3 pass);
+        * n_rhs > 4 — chunks of 4 (R > 4 needs W = 128 // R even for the
+          pair partner to stay in-row, and deeper packing pushes the
+          source past the cache cliff);
+        * unpaired (odd k) — pairwise R=2 passes (unpaired R=3 measured
+          192 ms vs ~100 ms pairwise: without pairs the extra lanes per
+          row buy nothing and the source grows past the cliff);
         * f64-on-TPU / off-TPU — batched element gathers (pure XLA; the
           elem tables follow whichever flat layout is active)."""
         n_rhs = flat.shape[0]
@@ -921,6 +938,15 @@ class EqlbEngine:
             x = gA + gB
             return x.at[:, cm["nfk"] :].add(g2)
 
+        if n_rhs >= 2 and paired:
+            if n_rhs <= 4:
+                return self._packed_combine(flat, refd)
+            parts = [
+                self._combine_flat(flat[r: r + 4], refd)
+                for r in range(0, n_rhs, 4)
+            ]
+            return jnp.concatenate(parts, axis=0)
+
         if n_rhs >= 3:
             parts = [
                 self._combine_flat(flat[r: r + 2], refd)
@@ -933,18 +959,12 @@ class EqlbEngine:
             flat = jnp.pad(flat, ((0, 0), (0, Lpos - flat.shape[1])))
             # 64 positions x 2 RHS lanes per 128-lane row
             f2p = jnp.moveaxis(flat, 0, 1).reshape(-1, 128)
-            n_out = 4 if paired else 2  # paired: 2 dofs x 2 RHS per index
 
             def pick2(nm, npos):
                 out = self._row_gather_select(
-                    f2p, refd[f"rows{nm}R2"], refd[f"lane{nm}R2"], n_out,
+                    f2p, refd[f"rows{nm}R2"], refd[f"lane{nm}R2"], 2,
                     flat.dtype)
-                if not paired:
-                    return out[:, :npos]
-                # out[2j + r, i] = value of dof pair-member j, RHS r:
-                # interleave the pair axis into the dof axis
-                arr = out.reshape(2, 2, -1)  # (j, r, npairs)
-                return jnp.moveaxis(arr, 0, -1).reshape(2, -1)[:, :npos]
+                return out[:, :npos]
 
             x = pick2("01", ndofs)
             tail = pick2("2", ndofs - cm["nfk"])
@@ -964,6 +984,40 @@ class EqlbEngine:
 
         x = pick1("01", ndofs)
         tail = pick1("2", ndofs - cm["nfk"])
+        return x.at[:, cm["nfk"] :].add(tail)
+
+    def _packed_combine(self, flat, refd):
+        """One R = n_rhs lane-packed PAIRED pass: (R, L) -> (R, ndofs).
+
+        Rows of the packed layout hold W = 128 // R positions x R RHS lanes
+        (position-major), so flat element (position p, rhs r) sits at lane
+        (p % W) * R + r.  Pair positions are adjacent and W is even for
+        R <= 4, so the pair partner shares the row: one gathered row serves
+        2 dofs x R RHS via the 2R consecutive select offsets o = m * R + r
+        (m = pair member).  The index count for all R fields equals the
+        1-field paired count."""
+        R = flat.shape[0]
+        cm = self._combine
+        ndofs = self.V.ndofs
+        W = 128 // R
+        assert W % 2 == 0, "pair partner would straddle a packed row"
+        Lpos = self._lpad(R)
+        flat = jnp.pad(flat, ((0, 0), (0, Lpos - flat.shape[1])))
+        f2p = jnp.moveaxis(flat, 0, 1).reshape(-1, W * R)
+        if W * R < 128:  # non-divisor R (e.g. 3): dead trailing lanes
+            f2p = jnp.pad(f2p, ((0, 0), (0, 128 - W * R)))
+
+        def pick(nm, npos):
+            out = self._row_gather_select(
+                f2p, refd[f"rows{nm}R{R}"], refd[f"lane{nm}R{R}"], 2 * R,
+                flat.dtype)
+            # out[m * R + r, j] = pair member m, RHS r of pair j:
+            # interleave the pair axis into the dof axis
+            arr = out.reshape(2, R, -1)
+            return jnp.moveaxis(arr, 0, -1).reshape(R, -1)[:, :npos]
+
+        x = pick("01", ndofs)
+        tail = pick("2", ndofs - cm["nfk"])
         return x.at[:, cm["nfk"] :].add(tail)
 
     def _row_gather_select(self, f2, rows_all, lane_all, n_out, dtype):
