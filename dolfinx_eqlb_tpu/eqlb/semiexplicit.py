@@ -462,8 +462,22 @@ def reduced_system_bl(engine, key, Mc, dv, resid=None, matrix=True):
     n_rhs = 1 if resid is None else resid.shape[-1] // P
     d0x = _bx(d0, n_rhs)
 
-    Az = jnp.zeros((Dz, Dz, P), dt) if matrix else None
-    bz = None if resid is None else jnp.zeros((Dz, resid.shape[-1]), dt)
+    # ALL indices below are static Python ints: accumulate into Python
+    # grids and stack once instead of .at[].add() updates.  Even scalar
+    # indexed adds lower to scatter-add ops, and the TPU backend's scatter
+    # combiner re-batches consecutive ones and expands them into a one-hot
+    # broadcast (Dz, Dz, P, u, u) whose tiny trailing dims tile-pad 64x —
+    # 8 GB at 131k patches, compile OOM under the x64 (pallas_mixed)
+    # program.  The stacked form lowers to pure adds + one concatenate.
+    grid = [[None] * Dz for _ in range(Dz)] if matrix else None
+    brow = [None] * Dz if resid is not None else None
+
+    def acc(g, r, c, v):
+        g[r][c] = v if g[r][c] is None else g[r][c] + v
+
+    def accb(r, v):
+        brow[r] = v if brow[r] is None else brow[r] + v
+
     for i in range(n):
         Mi = Mc[i]  # (nkeep, nkeep, P)
         wen = d0[i]
@@ -471,30 +485,33 @@ def reduced_system_bl(engine, key, Mc, dv, resid=None, matrix=True):
         C_i = st["ucols"][i]
         if matrix:
             if len(U):
-                # static scalar updates: the 2D outer-index scatter-add
-                # (.at[C_i[:, None], C_i[None, :]]) expands to a one-hot
-                # broadcast (Dz, Dz, P, u, u) whose tiny trailing dims
-                # tile-pad 64x — 8 GB at 131k patches, compile OOM under
-                # the x64 (pallas_mixed) program.  A_z is built once per
-                # engine and cached, so unrolled updates cost nothing at
-                # steady state.
                 for a in range(len(U)):
                     for c in range(len(U)):
-                        Az = Az.at[int(C_i[a]), int(C_i[c])].add(
+                        acc(grid, int(C_i[a]), int(C_i[c]),
                             Mi[int(U[a]), int(U[c])])
                 mU0 = Mi[U, 0] * wen + Mi[U, k] * wex  # (u, P)
                 for a in range(len(U)):
-                    Az = Az.at[int(C_i[a]), 0].add(mU0[a])
-                    Az = Az.at[0, int(C_i[a])].add(mU0[a])
-            Az = Az.at[0, 0].add(
+                    acc(grid, int(C_i[a]), 0, mU0[a])
+                    acc(grid, 0, int(C_i[a]), mU0[a])
+            acc(grid, 0, 0,
                 wen**2 * Mi[0, 0] + 2.0 * wen * wex * Mi[0, k]
-                + wex**2 * Mi[k, k]
-            )
+                + wex**2 * Mi[k, k])
         if resid is not None:
             ri = resid[i]  # (nkeep, X)
-            if len(U):
-                bz = bz.at[C_i].add(ri[U])
-            bz = bz.at[0].add(d0x[i] * ri[0] + d0x[st["exit_idx"][i]] * ri[k])
+            for a in range(len(U)):
+                accb(int(C_i[a]), ri[int(U[a])])
+            accb(0, d0x[i] * ri[0] + d0x[st["exit_idx"][i]] * ri[k])
+
+    Az = bz = None
+    if matrix:
+        zero = jnp.zeros((P,), dt)
+        Az = jnp.stack([
+            jnp.stack([zero if v is None else v for v in row])
+            for row in grid
+        ])
+    if resid is not None:
+        zb = jnp.zeros((resid.shape[-1],), dt)
+        bz = jnp.stack([zb if v is None else v for v in brow])
     return Az, bz
 
 
