@@ -235,14 +235,18 @@ def mass_matrices_bl(engine, key, dv, refd):
     Mc = None
     for q in range(6):
         wq = (dv["combo_bl"] == q).astype(dt)  # (n, P)
-        JtJw = jnp.einsum("ckax,ckbx,cx->cabx", J, J, wq)
         Mq = refd["MhatC"][q]
-        # explicit (a, b) broadcast sum instead of a dot_general: XLA lays
-        # the dot output out with the tiny (i, j) dims minor, which
-        # tile-pads 28x (4 GB per term at 131k patches -> OOM)
+        # fully unrolled (a, b, k) broadcast sums instead of einsums /
+        # dot_generals: ANY intermediate carrying the tiny (a, b) dims gets
+        # laid out with them minor and tile-padded 64x by the TPU backend
+        # (the JtJw einsum alone allocated 8 GB at 131k patches -> compile
+        # OOM under the x64 program); here only (n, P) lane arrays and the
+        # (n, nkeep, nkeep, P) accumulator ever exist
         for a in range(2):
             for b in range(2):
-                t = JtJw[:, a, b, None, None, :] * Mq[a, b][None, :, :, None]
+                JtJw_ab = (J[:, 0, a] * J[:, 0, b]
+                           + J[:, 1, a] * J[:, 1, b]) * wq  # (n, P)
+                t = JtJw_ab[:, None, None, :] * Mq[a, b][None, :, :, None]
                 Mc = t if Mc is None else Mc + t
     Mc = Mc / adet[:, None, None]
     return Mc * signs[:, :, None] * signs[:, None, :]
