@@ -173,6 +173,39 @@ def _make_data(msh, k, n_fields, stress, biot, dtype):
         nf = d_proj.shape[0]
         log(f"biot primal fields: {nf} fields from the coupled solve "
             f"({time.perf_counter()-t0:.1f}s)")
+    elif dtype == np.float64:
+        # accuracy-grade (--mixed) run: the divergence invariant is NOT
+        # data-independent — the semi-explicit step needs the hat-function
+        # compatibility sum_patch(hat_i f - grad hat_i . sigma_proj) = 0,
+        # which Galerkin solutions satisfy by construction and raw random
+        # dofs do not (measured: 144 residual at 4k cells).  Random data
+        # that IS exactly compatible: sigma_proj = curl z for a random C0
+        # P_k function z (discretely divergence-free against every hat),
+        # f = 0.  Dense dofs, identical op counts — timing is unaffected.
+        import jax.numpy as _jnp
+
+        from dolfinx_eqlb_tpu.eqlb.equilibrators import _dg_dofs
+        from dolfinx_eqlb_tpu.fem import (
+            Function, FunctionSpace, grad, local_projection,
+        )
+
+        t0 = time.perf_counter()
+        rng = np.random.default_rng(0)
+        Vp = FunctionSpace(msh, "P", k)
+        Vf = FunctionSpace(msh, "DG", k - 1, vs=2)
+        rows = []
+        # one-off data prep on the CPU backend: the projection's tiny-dim
+        # einsums tile-pad to 7.6 GB at 1M cells on the TPU
+        import jax as _jax
+
+        with _jax.default_device(_jax.devices("cpu")[0]):
+            for r in range(nf):
+                z = Function(Vp, _jnp.asarray(rng.normal(size=Vp.ndofs)))
+                d = _dg_dofs(local_projection(Vf, [grad(z)])[0], ndg)
+                rows.append(np.stack([d[:, 1], -d[:, 0]], axis=1))
+        d_proj = np.stack(rows)
+        d_rhs = np.zeros((nf, nc, ndg))
+        log(f"compatible curl-field data ({time.perf_counter()-t0:.1f}s)")
     else:
         rng = np.random.default_rng(0)
         d_proj = rng.normal(size=(nf, nc, 2, ndg))
@@ -278,9 +311,10 @@ def main(n=500, k=2, repeats=5, n_fields=1, stress=False, mixed=False,
 
     extras = {}
     if mixed:
-        # on-chip accuracy: max |div sigma_R - Pi f| over a random sample of
-        # cells, evaluated in f64 on device (the invariant holds for ANY
-        # data, so the random bench data suffices)
+        # on-chip accuracy: max |div sigma_R - Pi f| evaluated in f64 on
+        # device.  Valid because --mixed data is hat-compatible curl-field
+        # data (see _make_data) — raw random dofs would violate the
+        # invariant regardless of solver accuracy.
         from dolfinx_eqlb_tpu.eqlb.checks import check_divergence_condition
         from dolfinx_eqlb_tpu.fem import Function
 

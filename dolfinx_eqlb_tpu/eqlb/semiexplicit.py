@@ -324,18 +324,24 @@ def load_moments_bl(engine, key, dprT, dv, refd, src_packed=None):
         axis=0,
     )  # (2, ndg, n, X)
     Fv = Fq = gpsi = None
+    ndgk = dpJ.shape[1]
     for q in range(6):
         wq = (combo == q).astype(dt)  # (n, X)
         Rq = refd["RhatC"][q]  # (m, b, i)
-        tv = jnp.sum(
-            dpJ[:, :, :, None, :]
-            * jnp.transpose(Rq, (1, 0, 2))[:, :, None, :, None],
-            axis=(0, 1),
-        )  # (c, i, x)
-        tq = jnp.sum(
-            frg[:, :, None, :] * refd["T3C"][q][:, None, :, None],
-            axis=0,
-        )  # (c, p, x)
+        # unrolled (b, m) sums: the broadcast-reduce form materializes a
+        # 5D (2, ndg, n, nkeep, X) product — 140 MB per instance per chunk,
+        # which the x64 program rematerializes through bf16-compressed
+        # tile-padded copies (10x slowdown at 490k cells, worker-killing
+        # OOM at 1M); each unrolled term is only (n, nkeep, X)
+        tv = None
+        for bcomp in range(2):
+            for m in range(ndgk):
+                t = dpJ[bcomp, m][:, None, :] * Rq[m, bcomp][None, :, None]
+                tv = t if tv is None else tv + t  # (c, i, x)
+        tq = None
+        for m in range(ndgk):
+            t = frg[m][:, None, :] * refd["T3C"][q][m][None, :, None]
+            tq = t if tq is None else tq + t  # (c, p, x)
         hg = refd["hatgC"][q]
         tg = (K[:, 0] * hg[0] + K[:, 1] * hg[1]) * wq[:, None]  # (c, a, x)
         tvw = tv * wq[:, None]
