@@ -320,7 +320,15 @@ def biot_bench_fields(msh, k: int, rtol=1e-10, maxiter=20000,
     f and g are projected into DG_{k-1} BEFORE the solve (like the repo's
     Poisson/elasticity test drivers): the equilibration's patch-ring
     compatibility then follows exactly from Galerkin orthogonality instead
-    of holding only up to the primal quadrature error."""
+    of holding only up to the primal quadrature error.
+
+    Only the MINRES solve runs on the accelerator: the one-off data prep
+    (projections, grad-field construction) runs on the CPU backend — its
+    eager per-cell einsums carry tiny (nq, 2) minor dims that tile-pad
+    ~14-64x on TPU (compile OOM at 1M cells: 18.15 G program HBM,
+    evaluate_grad's f32[1e6, 9, 2] padded to 7.6 G)."""
+    import jax
+
     from ..fem.expressions import expr_from_callable
     from ..fem.projection import local_projection
 
@@ -328,6 +336,7 @@ def biot_bench_fields(msh, k: int, rtol=1e-10, maxiter=20000,
     Vp = FunctionSpace(msh, "P", k)
     Vpt = FunctionSpace(msh, "P", k - 1)
     solver = BiotSolverUPP(Vu, Vp, Vpt, dtype=dtype)
+    cpu = jax.devices("cpu")[0]
 
     def f_expr(x):
         return np.stack([
@@ -343,15 +352,26 @@ def biot_bench_fields(msh, k: int, rtol=1e-10, maxiter=20000,
 
     Vdg2 = FunctionSpace(msh, "DG", k - 1, vs=2)
     Vdg1 = FunctionSpace(msh, "DG", k - 1, vs=1)
-    fe = local_projection(
-        Vdg2, [expr_from_callable(f_expr, msh, value_size=2)],
-        quadrature_degree=2 * k + 6)[0]
-    ge = local_projection(
-        Vdg1, [expr_from_callable(g_expr, msh, value_size=1)],
-        quadrature_degree=2 * k + 6)[0]
+    with jax.default_device(cpu):
+        fe_h = local_projection(
+            Vdg2, [expr_from_callable(f_expr, msh, value_size=2)],
+            quadrature_degree=2 * k + 6)[0]
+        ge_h = local_projection(
+            Vdg1, [expr_from_callable(g_expr, msh, value_size=1)],
+            quadrature_degree=2 * k + 6)[0]
+    # re-home the projected data on the default (accelerator) backend for
+    # the load-vector quadrature evaluation inside solve()
+    fe = Function(Vdg2, jnp.asarray(np.asarray(fe_h.x)))
+    ge = Function(Vdg1, jnp.asarray(np.asarray(ge_h.x)))
     uh, ph, pth = solver.solve(fe, ge, msh.boundary_facets, rtol=rtol,
                                maxiter=maxiter, chunk=chunk)
-    proj_flux, rhs = biot_fields(uh, ph, pth, fe, ge, k)
+    uh_x, ph_x, pth_x = (np.asarray(uh.x), np.asarray(ph.x),
+                         np.asarray(pth.x))
+    with jax.default_device(cpu):
+        proj_flux, rhs = biot_fields(
+            Function(Vu, jnp.asarray(uh_x)), Function(Vp, jnp.asarray(ph_x)),
+            Function(Vpt, jnp.asarray(pth_x)), Function(Vdg2, fe_h.x),
+            Function(Vdg1, ge_h.x), k)
 
     ndg = k * (k + 1) // 2
     nc = msh.num_cells
