@@ -250,8 +250,10 @@ def weak_symmetry_bucket_bl(engine, key, sol2_bl, facet_kind2, dv, refd,
         # ||Sr v|| ~ 0 per patch and apply the exact rank-1 regularization
         # alpha v v^T — on consistent data this selects the solution with
         # zero null component and perturbs nothing else.
+        # float(): a np.float64 scalar is strongly typed and poisons the
+        # where/scatter to f64 under an f32 engine (FutureWarning -> error)
         v = jnp.zeros((D, P), dt).at[2 * Dz : 2 * Dz + C].set(
-            jnp.where(free[2 * Dz : 2 * Dz + C], 1.0 / np.sqrt(C), 0.0)
+            jnp.where(free[2 * Dz : 2 * Dz + C], float(1.0 / np.sqrt(C)), 0.0)
         )
         Sv = None
         for j in range(2 * Dz, 2 * Dz + C):
