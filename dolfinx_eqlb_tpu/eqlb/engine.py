@@ -443,6 +443,45 @@ class EqlbEngine:
             return "EQLB_FORCE_LANE_SELECT" not in os.environ
         return self.dtype == jnp.float64
 
+    # Largest lane-packed combine source (R x padded flat f32) that still
+    # rides the TPU gather's fast regime: row-fetch throughput drops ~3x
+    # once the source outgrows the chip's ~128 MB last-level cache
+    # (PROFILE_COMBINE_STRATEGIES.json at 1M cells: one R = 3 pass with a
+    # 146 MB source takes 180 ms where 3 cache-resident per-field passes
+    # take 125 ms and R2 + R1 132 ms).
+    _pack_src_bytes_max = 120e6
+
+    def _pack_groups(self, n_rhs: int):
+        """Sizes of the successive lane-packed passes serving n_rhs fields
+        (in field order; 1 = plain per-field paired pass).
+
+        A single R = n_rhs pass needs only the 1-field index count — one
+        gathered row serves 2 dofs x R RHS — but its packed source is R x
+        the field size.  Past the cache cliff (_pack_src_bytes_max) the
+        row fetches slow ~3x, so the plan greedily takes the largest pack
+        whose source stays cache-resident.  Exception at rem == 3: three
+        per-field passes measured faster than R2 + R1 (consecutive passes
+        over the SAME index tables keep them cache-warm)."""
+        if n_rhs <= 1:
+            return [1] * n_rhs
+        itemsize = np.dtype(np.float32).itemsize  # packed path is f32-only
+        L = self._combine["Lpad"]
+
+        def fits(R):
+            return R * L * itemsize <= self._pack_src_bytes_max
+
+        groups = []
+        rem = n_rhs
+        while rem >= 2:
+            R = max((g for g in (4, 3, 2) if g <= rem and fits(g)),
+                    default=0)
+            if R == 0 or (rem == 3 and R == 2):
+                break
+            groups.append(R)
+            rem -= R
+        groups.extend([1] * rem)
+        return groups
+
     def _pack_plan(self, n_rhs: int):
         """R values of the lane-packed row-gather passes serving n_rhs
         fields (mirrors the _combine_flat dispatch)."""
@@ -450,17 +489,13 @@ class EqlbEngine:
             return []
         if not self._patch_major:
             return [2]
-        plan = {4} if n_rhs > 4 else set()
-        rem = n_rhs % 4 if n_rhs > 4 else n_rhs
-        if rem >= 2:
-            plan.add(rem)
-        return sorted(plan)
+        return sorted({g for g in self._pack_groups(n_rhs) if g >= 2})
 
     def _ensure_combine_tables(self, n_rhs: int):
         """Upload the extra combine index tables the n_rhs > 1 paths need
-        (lazy).  n_rhs >= 2 routes through R = n_rhs lane-packed row
-        gathers (chunks of <= 4 for n_rhs > 4, pairwise R=2 when unpaired);
-        f64 / off-TPU use the element gather."""
+        (lazy).  n_rhs >= 2 routes through lane-packed row gathers sized
+        by _pack_groups (cache-resident packs, pairwise R=2 when
+        unpaired); f64 / off-TPU use the element gather."""
         elem = self._use_elem_combine(n_rhs)
         if n_rhs <= 1 and not elem:
             return
@@ -912,14 +947,13 @@ class EqlbEngine:
           ~2x the indices/s of element gathers; source ~50 MB at 1M cells);
           with PAIR tables (even k, see _build_paired_tables) each index
           serves 2 adjacent dofs, halving the index count again;
-        * n_rhs in {2, 3, 4} with PAIR tables — ONE R = n_rhs lane-packed
-          pass: rows hold 128 // R positions x R RHS lanes, so one index
-          serves 2 dofs x R RHS (2R offset lanes per select) and the index
-          count for ALL fields equals the 1-field count (3-field combine:
-          ~127 ms as pairwise R=2+R=1 passes -> one R=3 pass);
-        * n_rhs > 4 — chunks of 4 (R > 4 needs W = 128 // R even for the
-          pair partner to stay in-row, and deeper packing pushes the
-          source past the cache cliff);
+        * n_rhs >= 2 with PAIR tables — lane-packed passes sized by
+          _pack_groups: rows hold 128 // R positions x R RHS lanes, so one
+          index serves 2 dofs x R RHS (2R offset lanes per select) and an
+          R = n_rhs pass has the 1-field index count.  Pack sizes are
+          capped so each pass's source stays under the cache cliff
+          (3-field at 1M cells: one R=3 pass 180 ms -> 3 per-field passes
+          125 ms, PROFILE_COMBINE_STRATEGIES.json);
         * unpaired (odd k) — pairwise R=2 passes (unpaired R=3 measured
           192 ms vs ~100 ms pairwise: without pairs the extra lanes per
           row buy nothing and the source grows past the cliff);
@@ -939,12 +973,16 @@ class EqlbEngine:
             return x.at[:, cm["nfk"] :].add(g2)
 
         if n_rhs >= 2 and paired:
-            if n_rhs <= 4:
+            groups = self._pack_groups(n_rhs)
+            if groups == [n_rhs]:
                 return self._packed_combine(flat, refd)
-            parts = [
-                self._combine_flat(flat[r: r + 4], refd)
-                for r in range(0, n_rhs, 4)
-            ]
+            parts, r = [], 0
+            for g in groups:
+                if g >= 2:
+                    parts.append(self._packed_combine(flat[r: r + g], refd))
+                else:
+                    parts.append(self._combine_flat(flat[r: r + 1], refd))
+                r += g
             return jnp.concatenate(parts, axis=0)
 
         if n_rhs >= 3:
