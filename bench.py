@@ -256,9 +256,13 @@ def main(n=500, k=2, repeats=5, n_fields=1, stress=False, mixed=False,
     V = FunctionSpace(msh, "RT", k)
     t0 = time.perf_counter()
     # moderate chunking balances op-count against peak HBM through the
-    # combine gather's live intermediates
+    # combine gather's live intermediates; f64 (--mixed) doubles every live
+    # buffer, so it defaults to half the chunk (131072 crashed the 16 GB
+    # worker at 1M cells)
+    chunk = int(os.environ.get(
+        "EQLB_BENCH_CHUNK", 65536 if mixed else 131072))
     engine = EqlbEngine(V, buckets, dtype=dtype,
-                        max_patches_per_bucket=131072)
+                        max_patches_per_bucket=chunk)
     # on-chip pivot-free factorization (ops.patch_solve): XLA's batched LU
     # makes O(D) serial HBM passes and is ~5x slower end to end
     if mixed:
