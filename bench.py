@@ -219,6 +219,51 @@ def _make_data(msh, k, n_fields, stress, biot, dtype):
             bvals.astype(dtype), nf)
 
 
+def _host_divergence_check(n, k, x, d_proj0, d_rhs0):
+    """Re-verify the divergence residual of downloaded dofs in TRUE IEEE
+    f64 on the host CPU.  This process's backend is pinned to the chip
+    (the container sitecustomize maps the cpu platform away), so the check
+    runs in a subprocess that forces jax_platforms=cpu.  Returns the max
+    residual, or None when the subprocess fails (diagnostic only)."""
+    import subprocess
+    import tempfile
+
+    code = r"""
+import json, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+sys.path.insert(0, {repo!r})
+from dolfinx_eqlb_tpu.mesh import unit_square
+from dolfinx_eqlb_tpu.fem import FunctionSpace, Function
+from dolfinx_eqlb_tpu.eqlb.checks import check_divergence_condition
+d = np.load(sys.argv[1])
+msh = unit_square({n})
+V = FunctionSpace(msh, "RT", {k})
+Vdg2 = FunctionSpace(msh, "DG", {k} - 1, vs=2)
+Vdg1 = FunctionSpace(msh, "DG", {k} - 1, vs=1)
+sig = Function(V, jnp.asarray(d["x"], jnp.float64))
+ps = Function(Vdg2, jnp.asarray(d["dp"].transpose(1, 0, 2).reshape(-1)))
+pf = Function(Vdg1, jnp.asarray(d["dr"].reshape(-1)))
+err = check_divergence_condition(sig, ps, pf, return_error=True)
+print(json.dumps({{"err": float(err)}}))
+"""
+    try:
+        with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+            np.savez(f.name, x=x, dp=d_proj0, dr=d_rhs0)
+            repo = os.path.dirname(os.path.abspath(__file__))
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 code.format(repo=repo, n=n, k=k), f.name],
+                capture_output=True, text=True, timeout=1200)
+        return float(json.loads(out.stdout.strip().splitlines()[-1])["err"])
+    except Exception as e:  # noqa: BLE001 — diagnostic only
+        log(f"host f64 re-check unavailable: {type(e).__name__}: {e}")
+        return None
+
+
 def main(n=500, k=2, repeats=5, n_fields=1, stress=False, mixed=False,
          biot=False):
     """``n_fields > 1`` benchmarks the multi-field (poro-elasticity-style)
@@ -331,6 +376,14 @@ def main(n=500, k=2, repeats=5, n_fields=1, stress=False, mixed=False,
         div_err = check_divergence_condition(sig, ps, pf, return_error=True)
         extras["divergence_max_err"] = float(div_err)
         log(f"divergence residual (f64 on-chip): {div_err:.3e}")
+        host_err = _host_divergence_check(n, k, np.asarray(x[0]),
+                                          d_proj[0], d_rhs[0])
+        if host_err is not None:
+            # the backend's f64 is software-emulated, so the on-chip check
+            # carries its own noise floor; the host check re-verifies the
+            # downloaded dofs in true IEEE f64
+            extras["divergence_max_err_host_f64"] = host_err
+            log(f"divergence residual (host f64 re-check): {host_err:.3e}")
 
     # strict-latency line FIRST: a mid-run kill still captures the primary
     # (< 100 ms) metric.  The pipelined headline follows as the LAST line.

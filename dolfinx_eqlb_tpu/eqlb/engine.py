@@ -155,6 +155,10 @@ class EqlbEngine:
         # HBM traffic than XLA's LuDecomposition custom call; "xla": batched
         # jnp.linalg.solve (robust default for f64 CPU testing)
         self.solver = "xla"
+        # f64 residual-correction passes of the "pallas_mixed" solver; the
+        # cached bucket inverses are built through it, so extra steps cost
+        # table-build time only (not steady state)
+        self.mixed_refine_steps = int(os.environ.get("EQLB_MIXED_REFINE", 1))
         # every bucket's patch axis ends in >= LANE_PAD pad lanes: under
         # whole-program fusion pressure this backend sporadically poisons
         # the LAST (8, 128) lane tile of a large bucket pipeline with NaN
@@ -1148,11 +1152,13 @@ class EqlbEngine:
                 D = A.shape[0]
                 # explicit j-sum: tiny-D dot_generals relayout-pad on this
                 # backend (see solve_bucket_semiexplicit)
-                r = b
-                for j in range(D):
-                    r = r - A[:, j, None, :] * y[j][None]
-                d = batched_kkt_solve_bl(A32, r.astype(f32)).astype(f64)
-                return y + d
+                for _ in range(self.mixed_refine_steps):
+                    r = b
+                    for j in range(D):
+                        r = r - A[:, j, None, :] * y[j][None]
+                    d = batched_kkt_solve_bl(A32, r.astype(f32)).astype(f64)
+                    y = y + d
+                return y
             return batched_kkt_solve_bl(A, b)
         Ab = jnp.moveaxis(A, -1, 0)
         bb = jnp.moveaxis(b, -1, 0)

@@ -23,30 +23,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lane_select_sum", "lane_select_multi"]
+__all__ = ["lane_select_sum", "lane_select_multi", "lane_select_offsets"]
 
 
-def _kernel(C, R, rows_ref, lane_ref, out_ref):
+def _kernel(C, offs, rows_ref, lane_ref, out_ref):
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
     # per-contributor / per-offset unroll, slicing at the ref level: Mosaic
     # supports only single trailing-axis reductions, and value-level integer
     # indexing of a non-minor axis lowers to an unsupported gather
-    for r in range(R):
+    for r, off in enumerate(offs):
         acc = None
         for c in range(C):
             rows_c = rows_ref[0, :, :, c, :]  # (8, 128, 128)
             lane_c = lane_ref[0, c]  # (8, 128)
-            m = ((lane_c[:, :, None] + r) == iota).astype(rows_c.dtype)
+            m = ((lane_c[:, :, None] + off) == iota).astype(rows_c.dtype)
             t = jnp.sum(rows_c * m, axis=-1)  # (8, 128)
             acc = t if acc is None else acc + t
         out_ref[r, 0] = acc
 
 
-@partial(jax.jit, static_argnames=("R",))
-def _run(rows, lane, R=1):
+@partial(jax.jit, static_argnames=("offs",))
+def _run(rows, lane, offs=(0,)):
     G, _, _, C, _ = rows.shape
+    R = len(offs)
     return pl.pallas_call(
-        partial(_kernel, C, R),
+        partial(_kernel, C, offs),
         grid=(G,),
         in_specs=[
             pl.BlockSpec((1, 8, 128, C, 128), lambda i: (i, 0, 0, 0, 0),
@@ -82,7 +83,18 @@ def lane_select_multi(rows, lane, R):
     engine packs the RHS axis into adjacent lanes of the flat solution
     layout), so the HBM-bound row gather is paid once, not once per RHS.
     Returns (R, G, 8, 128)."""
+    return lane_select_offsets(rows, lane, tuple(range(R)))
+
+
+def lane_select_offsets(rows, lane, offsets):
+    """Arbitrary static lane offsets: out[i, g, s, l] =
+    sum_c rows[g, s, l, c, lane[g, c, s, l] + offsets[i]].
+
+    Serves the RHS-BLOCK packed flat layout (lanes [r*W, (r+1)*W) hold RHS
+    r), where the offsets per output channel are strided (m + W * r for
+    pair member m), not consecutive.  Returns (len(offsets), G, 8, 128)."""
+    offsets = tuple(int(o) for o in offsets)
     if jax.config.jax_enable_x64 and rows.dtype != jnp.float64:
         with jax.enable_x64(False):
-            return _run(rows, lane, R)
-    return _run(rows, lane, R)
+            return _run(rows, lane, offsets)
+    return _run(rows, lane, offsets)
