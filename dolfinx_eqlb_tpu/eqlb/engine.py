@@ -961,6 +961,13 @@ class EqlbEngine:
         * unpaired (odd k) — pairwise R=2 passes (unpaired R=3 measured
           192 ms vs ~100 ms pairwise: without pairs the extra lanes per
           row buy nothing and the source grows past the cliff);
+        * measured dead ends at 3 RHS / 1M cells (PROFILE_COMBINE_V2 /
+          _ELEM3): a single rhs-BLOCK packed pass 164 ms (the pack alone
+          is ~35 ms at ~6 GB/s — minor-dim composition is slow on this
+          backend), chunk-permuted cache-resident source segments 161 ms
+          (slicing eats what residency saves), batched element gather
+          204 ms (its cost is NOT n_rhs-independent end-to-end).  The
+          per-field paired passes below are the practical floor;
         * f64-on-TPU / off-TPU — batched element gathers (pure XLA; the
           elem tables follow whichever flat layout is active)."""
         n_rhs = flat.shape[0]
