@@ -223,8 +223,21 @@ def _host_divergence_check(n, k, x, d_proj0, d_rhs0):
     """Re-verify the divergence residual of downloaded dofs in TRUE IEEE
     f64 on the host CPU.  This process's backend is pinned to the chip
     (the container sitecustomize maps the cpu platform away), so the check
-    runs in a subprocess that forces jax_platforms=cpu.  Returns the max
-    residual, or None when the subprocess fails (diagnostic only)."""
+    runs in a subprocess that forces jax_platforms=cpu.  Returns
+    ``(err, scale)`` — the max residual and the inverse-estimate magnitude
+    of the field (max|sigma_R| / h_min) — or None when the subprocess
+    fails (diagnostic only).
+
+    Why the scale matters: with curl-field data (f = 0) the checker's max
+    |div sigma_R - Pi f| is a pure cancellation residual whose terms carry
+    the divergence-operator amplification 1/detJ ~ 2 n^2 (~5e5 at n=500).
+    ``artifacts/DIAG_MIXED_DOFS.json`` shows the mixed-precision dofs match
+    a pure-f64 CPU equilibration of identical inputs to 2.3e-13, yet that
+    dof-level noise alone puts the ABSOLUTE residual at ~1e-7 on a 1M-cell
+    mesh — any f64 implementation differing only in summation order lands
+    there (the all-f64 CPU pipeline itself measures 6.0e-9 only because its
+    reduction order happens to match the checker's).  ``err / scale`` is the
+    mesh-size-comparable accuracy number."""
     import subprocess
     import tempfile
 
@@ -248,7 +261,14 @@ sig = Function(V, jnp.asarray(d["x"], jnp.float64))
 ps = Function(Vdg2, jnp.asarray(d["dp"].transpose(1, 0, 2).reshape(-1)))
 pf = Function(Vdg1, jnp.asarray(d["dr"].reshape(-1)))
 err = check_divergence_condition(sig, ps, pf, return_error=True)
-print(json.dumps({{"err": float(err)}}))
+# inverse-estimate field magnitude: |div sigma| <~ |sigma| / h, so the
+# residual is reported relative to max|sigma_R| / h_min as well
+from dolfinx_eqlb_tpu.eqlb.checks import reconstructed_flux_expr
+from dolfinx_eqlb_tpu.elements.quadrature import gauss_triangle
+pts, _ = gauss_triangle(2 * {k} + 2)
+vmax = float(jnp.max(jnp.abs(reconstructed_flux_expr(sig, ps).evaluate(pts))))
+h_min = float(np.sqrt(2.0 * np.min(np.abs(np.asarray(msh.detJ)))))
+print(json.dumps({{"err": float(err), "scale": vmax / h_min}}))
 """
     try:
         with tempfile.NamedTemporaryFile(suffix=".npz") as f:
@@ -258,7 +278,8 @@ print(json.dumps({{"err": float(err)}}))
                 [sys.executable, "-c",
                  code.format(repo=repo, n=n, k=k), f.name],
                 capture_output=True, text=True, timeout=1200)
-        return float(json.loads(out.stdout.strip().splitlines()[-1])["err"])
+        res = json.loads(out.stdout.strip().splitlines()[-1])
+        return float(res["err"]), float(res["scale"])
     except Exception as e:  # noqa: BLE001 — diagnostic only
         log(f"host f64 re-check unavailable: {type(e).__name__}: {e}")
         return None
@@ -376,14 +397,23 @@ def main(n=500, k=2, repeats=5, n_fields=1, stress=False, mixed=False,
         div_err = check_divergence_condition(sig, ps, pf, return_error=True)
         extras["divergence_max_err"] = float(div_err)
         log(f"divergence residual (f64 on-chip): {div_err:.3e}")
-        host_err = _host_divergence_check(n, k, np.asarray(x[0]),
-                                          d_proj[0], d_rhs[0])
-        if host_err is not None:
+        host = _host_divergence_check(n, k, np.asarray(x[0]),
+                                      d_proj[0], d_rhs[0])
+        if host is not None:
             # the backend's f64 is software-emulated, so the on-chip check
             # carries its own noise floor; the host check re-verifies the
             # downloaded dofs in true IEEE f64
+            host_err, div_scale = host
             extras["divergence_max_err_host_f64"] = host_err
-            log(f"divergence residual (host f64 re-check): {host_err:.3e}")
+            # mesh-size-comparable accuracy: the absolute residual carries
+            # the 1/detJ ~ 2 n^2 operator amplification of f64-floor dof
+            # noise (artifacts/DIAG_MIXED_DOFS.json: dofs match an all-f64
+            # CPU equilibration to 2.3e-13, which alone is ~1e-7 absolute
+            # at 1M cells); err / (max|sigma_R| / h_min) removes it
+            extras["divergence_rel_err"] = host_err / div_scale
+            log(f"divergence residual (host f64 re-check): {host_err:.3e}"
+                f" absolute, {host_err / div_scale:.3e} relative to"
+                f" max|sigma|/h_min = {div_scale:.3e}")
 
     # strict-latency line FIRST: a mid-run kill still captures the primary
     # (< 100 ms) metric.  The pipelined headline follows as the LAST line.
