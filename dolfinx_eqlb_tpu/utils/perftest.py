@@ -9,6 +9,11 @@ orders for the reference's testcases
     elasticity  — vector P_k, weakly-symmetric SE stress    (orders 2-4)
     biot        — u-p-pt poro-elasticity, 3-field SE stress (orders 2-4)
 
+This is the reference's complete implemented testcase set: its registry
+also *declares* a 2-field ``Biot_up`` (``perftest_basics.py:156``) but
+``setup_testcase`` raises "Unknown testcase" for it — only the 3-field
+``poroelasticity_problem_upp`` exists (``perftest_basics.py:160-169``).
+
 min/max over repeats, CSV output with the reference's column layout
 (ncells, nnodes, tp_assembly, tp_solve, t_projection, t_eqlb_*).
 """
