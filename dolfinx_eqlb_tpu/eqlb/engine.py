@@ -469,10 +469,13 @@ class EqlbEngine:
         if n_rhs <= 1:
             return [1] * n_rhs
         itemsize = np.dtype(np.float32).itemsize  # packed path is f32-only
-        L = self._combine["Lpad"]
 
         def fits(R):
-            return R * L * itemsize <= self._pack_src_bytes_max
+            # actual packed-source footprint: non-divisor R (e.g. 3) pads
+            # every W-position row out to 128 lanes (_packed_combine), so
+            # size from the real row count, not R * Lpad
+            rows = self._lpad(R) // (128 // R)
+            return rows * 128 * itemsize <= self._pack_src_bytes_max
 
         groups = []
         rem = n_rhs
