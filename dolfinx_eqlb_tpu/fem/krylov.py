@@ -17,13 +17,18 @@ __all__ = ["minres"]
 
 def minres(matvec, b, x0, Minv, free, rtol=1e-12, atol=1e-14, maxiter=1000,
            operands=None, chunk=None):
-    """Jacobi-preconditioned MINRES (Paige & Saunders) on the free dofs.
+    """Preconditioned MINRES (Paige & Saunders) on the free dofs.
 
     ``matvec`` is the raw operator; essential dofs are handled by
     projection: the iteration runs on r0 = free * (b - A x0) and keeps the
-    constrained components of x fixed at x0.  ``Minv`` must be SPD on the
-    free dofs (use 1/|diag| for indefinite systems).  Returns the state
-    dict (x, phibar = preconditioned residual norm, it).
+    constrained components of x fixed at x0.  ``Minv`` is either a vector
+    (Jacobi: z = Minv * r) or a callable ``(r, operands) -> z`` applying an
+    SPD operator on the free dofs (e.g. a block-diagonal geometric-multigrid
+    V-cycle, ``fem.multigrid.GeometricMG`` — the TPU-native stand-in for the
+    reference's BoomerAMG preconditioner,
+    ``python/test/performance/perftest_basics.py:34-160``); it must be a
+    FIXED linear operator for the Lanczos recurrence to remain valid.
+    Returns the state dict (x, phibar = preconditioned residual norm, it).
 
     ``operands``: optional pytree of device arrays the operator reads,
     called as ``matvec(v, operands)`` — REQUIRED for large systems so the
@@ -38,9 +43,20 @@ def minres(matvec, b, x0, Minv, free, rtol=1e-12, atol=1e-14, maxiter=1000,
     def apply(v, ops):
         return matvec(v) if ops is None else matvec(v, ops)
 
+    if callable(Minv):
+        # the operator's tables ride inside ``operands``; Mv is a dummy so the
+        # jitted signatures stay uniform with the Jacobi path
+        def applyM(r, ops, Mv, M=Minv):
+            return M(r, ops)
+
+        Minv = jnp.zeros(0, b.dtype)
+    else:
+        def applyM(r, ops, Mv):
+            return Mv * r
+
     def init(x0, b, Minv, free, ops):
         r0 = jnp.where(free, b - apply(x0, ops), 0.0)
-        y = Minv * r0
+        y = applyM(r0, ops, Minv)
         beta1 = jnp.sqrt(jnp.dot(r0, y))
         st0 = dict(
             x=x0, r=r0, r_old=jnp.zeros_like(r0), y=y,
@@ -61,7 +77,7 @@ def minres(matvec, b, x0, Minv, free, rtol=1e-12, atol=1e-14, maxiter=1000,
             v = st["y"] / st["beta"]
             Av = Aop(v)
             alfa = jnp.dot(v, Av)
-            ynew = Minv * Av - (alfa / st["beta"]) * st["y"] \
+            ynew = applyM(Av, ops, Minv) - (alfa / st["beta"]) * st["y"] \
                 - (st["beta"] / st["beta_old"]) * st["y_old"]
             rnew = Av - (alfa / st["beta"]) * st["r"] \
                 - (st["beta"] / st["beta_old"]) * st["r_old"]

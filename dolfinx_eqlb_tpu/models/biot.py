@@ -44,8 +44,62 @@ from ..fem.expressions import Expr, as_expr
 from ..fem.krylov import minres
 from .poisson import locate_dofs_on_facets
 
-__all__ = ["BiotSolverUPP", "biot_stress_row_expr", "darcy_flux_expr",
-           "biot_flow_rhs_expr", "biot_fields", "biot_bench_fields"]
+__all__ = ["BiotSolverUPP", "BiotMG", "biot_stress_row_expr",
+           "darcy_flux_expr", "biot_flow_rhs_expr", "biot_fields",
+           "biot_bench_fields"]
+
+
+class BiotMG:
+    """Block-diagonal geometric-multigrid preconditioner for the symmetric
+    u-p-pt system: the Lee-Mardal-Winther norm-equivalent block operator
+
+        P = diag( A_uu,  K_p + M_p,  M_pt )
+
+    with V-cycles on the two elliptic blocks and the (lumped) mass diagonal
+    on pt.  TPU-native stand-in for the reference's CG+BoomerAMG / MUMPS
+    solver configs (``python/test/performance/perftest_basics.py:34-160``);
+    gives mesh-independent MINRES iteration counts where plain Jacobi needs
+    O(1/h) iterations.
+
+    ``meshes``: nested red-refinement hierarchy (``fem.multigrid.
+    mesh_hierarchy``), coarse -> fine, whose finest mesh IS the solver's
+    mesh.  Assumes u and p are essential on the whole boundary (the
+    reference testcase's layout) so every level can mask its own boundary.
+    """
+
+    def __init__(self, solver: "BiotSolverUPP", meshes, smooth_degree=3,
+                 eig_ratio=8.0):
+        from ..fem.multigrid import (GeometricMG, scalar_stiffness_tensors,
+                                     vector_eps_tensors)
+
+        if meshes[-1] is not solver.Vu.mesh:
+            raise ValueError("meshes[-1] must be the solver's mesh")
+        ku = solver.Vu.degree
+        dt = solver.dtype
+        self.nu, self.np_ = solver.nu, solver.np_
+        self.mg_u = GeometricMG(
+            meshes, ku, lambda m: vector_eps_tensors(m, ku),
+            block_size=2, smooth_degree=smooth_degree, eig_ratio=eig_ratio,
+            dtype=dt)
+        self.mg_p = GeometricMG(
+            meshes, ku, lambda m: scalar_stiffness_tensors(m, ku,
+                                                           mass_coeff=1.0),
+            smooth_degree=smooth_degree, eig_ratio=eig_ratio, dtype=dt)
+        dpt = solver.diag[solver.nu + solver.np_:]
+        self.dpt_inv = jnp.where(jnp.abs(dpt) > 0, 1.0 / jnp.abs(dpt), 1.0)
+
+    def operands(self):
+        """Device pytree; merge into the Krylov ``operands`` argument."""
+        return dict(mg_u=self.mg_u.operands(), mg_p=self.mg_p.operands(),
+                    dpt_inv=self.dpt_inv)
+
+    def psolve(self, r, ops):
+        nu, np_ = self.nu, self.np_
+        return jnp.concatenate([
+            self.mg_u.apply(r[:nu], ops["mg_u"]),
+            self.mg_p.apply(r[nu: nu + np_], ops["mg_p"]),
+            ops["dpt_inv"] * r[nu + np_:],
+        ])
 
 
 class BiotSolverUPP:
@@ -178,10 +232,15 @@ class BiotSolverUPP:
         return jnp.concatenate([bu, -bp, jnp.zeros(self.npt, self.dtype)])
 
     def solve(self, f_expr, g_expr, dirichlet_facets, rtol=1e-12, atol=1e-14,
-              maxiter=None, chunk=None):
+              maxiter=None, chunk=None, mg=None):
         """Homogeneous essential data u = 0, p = 0 on ``dirichlet_facets``
         (the reference testcase uses zero functions); pt is unconstrained.
-        Returns (uh, ph, pth)."""
+        Returns (uh, ph, pth).
+
+        ``mg``: an optional :class:`BiotMG` (or a nested mesh hierarchy to
+        build one from) — block-multigrid preconditioning with
+        mesh-independent iteration counts; requires ``dirichlet_facets`` to
+        be the whole boundary.  Default: Jacobi."""
         Vu, Vp = self.Vu, self.Vp
         bscalar = locate_dofs_on_facets(
             FunctionSpace(Vu.mesh, "P", Vu.degree), dirichlet_facets)
@@ -194,13 +253,27 @@ class BiotSolverUPP:
 
         x0 = jnp.zeros(self.nu + self.np_ + self.npt, self.dtype)
         b = self.load_vector(f_expr, g_expr)
-        Minv = jnp.where(jnp.abs(self.diag) > 0,
-                         1.0 / jnp.abs(self.diag), 1.0)
-        if maxiter is None:
-            maxiter = 90 * int(np.sqrt(self.nu + self.np_ + self.npt) + 100)
+        operands = self._operands()
+        if mg is not None:
+            if not isinstance(mg, BiotMG):
+                mg = BiotMG(self, mg)
+            if len(np.setdiff1d(self.Vu.mesh.boundary_facets,
+                                np.asarray(dirichlet_facets))):
+                raise ValueError(
+                    "BiotMG assumes u/p essential on the whole boundary")
+            Minv = mg.psolve
+            operands = {**operands, **mg.operands()}
+            if maxiter is None:
+                maxiter = 400  # mesh-independent with the block V-cycle
+        else:
+            Minv = jnp.where(jnp.abs(self.diag) > 0,
+                             1.0 / jnp.abs(self.diag), 1.0)
+            if maxiter is None:
+                maxiter = 90 * int(
+                    np.sqrt(self.nu + self.np_ + self.npt) + 100)
         st = minres(self.matvec, b, x0, Minv, jnp.asarray(free),
                     rtol=rtol, atol=atol, maxiter=maxiter,
-                    operands=self._operands(), chunk=chunk)
+                    operands=operands, chunk=chunk)
         self.last_iterations = int(st["it"])
         self.last_residual = float(st["phibar"])
         x = st["x"]

@@ -360,8 +360,15 @@ class ElasticitySolverUP:
         return jnp.concatenate([bu, jnp.zeros(self.np_)])
 
     def solve(self, f_expr, dirichlet_facets, u_d, rtol=1e-12, atol=1e-14,
-              maxiter=None):
-        """Returns (uh, ph)."""
+              maxiter=None, mg_meshes=None):
+        """Returns (uh, ph).
+
+        ``mg_meshes``: optional nested red-refinement hierarchy (finest =
+        the solver's mesh) — a geometric V-cycle then preconditions the
+        displacement block (pressure keeps the mass-diagonal), the standard
+        norm-equivalent Herrmann preconditioner diag(A_uu, M_p/pi_1); needs
+        u essential on the whole boundary.  Default: Jacobi on both
+        blocks."""
         Vu = self.Vu
         bscalar = locate_dofs_on_facets(
             FunctionSpace(Vu.mesh, "P", Vu.degree), dirichlet_facets
@@ -378,14 +385,43 @@ class ElasticitySolverUP:
             ud_fun.x, jnp.zeros(self.np_)
         ]))
         b = self.load_vector(f_expr)
-        Minv = jnp.where(jnp.abs(self.diag) > 0, 1.0 / jnp.abs(self.diag), 1.0)
-        if maxiter is None:
-            maxiter = 60 * int(np.sqrt(self.nu + self.np_) + 100)
+        operands = self._operands()
+        diag_inv = jnp.where(jnp.abs(self.diag) > 0,
+                             1.0 / jnp.abs(self.diag), 1.0)
+        if mg_meshes is not None:
+            from ..fem.multigrid import GeometricMG, vector_eps_tensors
+
+            if mg_meshes[-1] is not Vu.mesh:
+                raise ValueError("mg_meshes[-1] must be the solver's mesh")
+            if len(np.setdiff1d(Vu.mesh.boundary_facets,
+                                np.asarray(dirichlet_facets))):
+                raise ValueError(
+                    "the MG path assumes u essential on the whole boundary")
+            ku = Vu.degree
+            mg_u = GeometricMG(mg_meshes, ku,
+                               lambda m: vector_eps_tensors(m, ku),
+                               block_size=2)
+            nu = self.nu
+
+            def Minv(r, ops):
+                return jnp.concatenate([
+                    mg_u.apply(r[:nu], ops["mg_u"]),
+                    ops["dp_inv"] * r[nu:],
+                ])
+
+            operands = {**operands, "mg_u": mg_u.operands(),
+                        "dp_inv": diag_inv[nu:]}
+            if maxiter is None:
+                maxiter = 400
+        else:
+            Minv = diag_inv
+            if maxiter is None:
+                maxiter = 60 * int(np.sqrt(self.nu + self.np_) + 100)
 
         from ..fem.krylov import minres
 
         st = minres(self.matvec, b, x0, Minv, free, rtol=rtol, atol=atol,
-                    maxiter=maxiter, operands=self._operands())
+                    maxiter=maxiter, operands=operands)
         self.last_iterations = int(st["it"])
         self.last_residual = float(st["phibar"])
         x = st["x"]

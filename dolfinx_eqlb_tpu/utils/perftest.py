@@ -117,8 +117,8 @@ def _setup_elasticity(msh, order):
     return V.ndofs, t_asm, solve, project, make_eqlbs
 
 
-def _setup_biot(msh, order):
-    from ..models.biot import BiotSolverUPP, biot_fields
+def _setup_biot(msh, order, hierarchy=None):
+    from ..models.biot import BiotSolverUPP, BiotMG, biot_fields
 
     f_ext = lambda x: np.stack(
         [0.7 * np.sin(1.5 * np.pi * x[..., 0])
@@ -141,10 +141,13 @@ def _setup_biot(msh, order):
 
     ta0 = time.perf_counter()
     solver = BiotSolverUPP(Vu, Vp, Vpt)
+    # block-MG preconditioner setup is assembly-stage work (the reference's
+    # BoomerAMG/MUMPS setup likewise happens before the timed solve)
+    mg = BiotMG(solver, hierarchy) if hierarchy is not None else None
     t_asm = time.perf_counter() - ta0
 
     def solve():
-        return solver.solve(fe, ge, msh.boundary_facets, rtol=1e-10)
+        return solver.solve(fe, ge, msh.boundary_facets, rtol=1e-10, mg=mg)
 
     def project(sol):
         uh, ph, pth = sol
@@ -181,14 +184,29 @@ def run_perftest(
         raise ValueError(f"unknown testcase {testcase!r}; one of {TESTCASES}")
     setup = _SETUPS[testcase]
 
+    # biot solves ride a block-geometric-multigrid preconditioner, which
+    # needs nested meshes: its refinement series is the red-refinement
+    # hierarchy of the coarse mesh (same cell/vertex/dof counts per level as
+    # the built-in crossed series; only the sub-triangle geometry differs)
+    hierarchy = None
+    if testcase == "biot":
+        from ..fem.multigrid import mesh_hierarchy
+
+        hierarchy = mesh_hierarchy(unit_square(n0), nrefs)
+
     rows = []
     for order in orders:
         if testcase != "poisson" and order < 2:
             continue
         for i in range(nrefs):
             n = n0 * 2**i
-            msh = unit_square(n)
-            ndofs, t_asm, solve, project, make_eqlbs = setup(msh, order)
+            if hierarchy is not None:
+                msh = hierarchy[i]
+                ndofs, t_asm, solve, project, make_eqlbs = setup(
+                    msh, order, hierarchy[: i + 1])
+            else:
+                msh = unit_square(n)
+                ndofs, t_asm, solve, project, make_eqlbs = setup(msh, order)
 
             t_solve_min, t_solve_max, sol = _timeit(solve, repeats)
             t_proj_min, t_proj_max, projected = _timeit(
