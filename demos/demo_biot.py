@@ -59,7 +59,15 @@ def g_flow(x):
 
 
 def main(n=16, order=2):
-    msh = unit_square(n)
+    # nested red-refinement hierarchy: the primal solve rides a block
+    # geometric-multigrid MINRES (diag(A_uu, K_p + M_p, M_pt) V-cycles,
+    # models.biot.BiotMG) with mesh-independent iteration counts — the
+    # TPU-native analog of the reference's CG+BoomerAMG / MUMPS configs
+    from dolfinx_eqlb_tpu.fem import mesh_hierarchy
+
+    nlevels = max(1, int(np.log2(max(n // 4, 1))) + 1)
+    meshes = mesh_hierarchy(unit_square(max(n >> (nlevels - 1), 1)), nlevels)
+    msh = meshes[-1]
     Vu = FunctionSpace(msh, "P", order, vs=2)
     Vp = FunctionSpace(msh, "P", order)
     Vpt = FunctionSpace(msh, "P", order - 1)
@@ -78,9 +86,10 @@ def main(n=16, order=2):
 
     t0 = time.perf_counter()
     solver = BiotSolverUPP(Vu, Vp, Vpt)
-    uh, ph, pth = solver.solve(fe, ge, msh.boundary_facets, rtol=1e-12)
+    uh, ph, pth = solver.solve(fe, ge, msh.boundary_facets, rtol=1e-12,
+                               mg=meshes if len(meshes) > 1 else None)
     print(f"Biot primal (u-p-pt) solved in {time.perf_counter()-t0:.2f} s "
-          f"({solver.last_iterations} MINRES iterations, residual "
+          f"({solver.last_iterations} block-MG MINRES iterations, residual "
           f"{solver.last_residual:.2e})")
 
     sigma_proj, rhs_proj = biot_fields(uh, ph, pth, fe, ge, order)

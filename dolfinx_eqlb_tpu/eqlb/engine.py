@@ -443,9 +443,31 @@ class EqlbEngine:
         off-TPU for interpret-mode kernel coverage in tests."""
         import os
 
+        if self._use_ds_combine(n_rhs):
+            return False
         if jax.default_backend() != "tpu":
             return "EQLB_FORCE_LANE_SELECT" not in os.environ
         return self.dtype == jnp.float64
+
+    def _use_ds_combine(self, n_rhs: int) -> bool:
+        """Double-single combine for f64 data: the flat solution rides the
+        index-rate-bound row gather as (hi, lo) f32 lane-plane pairs — the
+        R = 2 lane-packed PAIRED tables, i.e. the 1-field f32 index count —
+        and is reconstructed in f64 afterwards (exact to ~2^-48: the
+        contributor sum is 2Sum-compensated in the select kernel,
+        ops.lane_select_ds).  Replaces the emulated-f64 element gather on
+        TPU, the dominant cost of the mixed-precision path
+        (BENCH_MIXED_r04: 519.9 ms vs 80.7 ms f32)."""
+        import os
+
+        return (
+            n_rhs == 1
+            and self.dtype == jnp.float64
+            and self._patch_major
+            and not os.environ.get("EQLB_NO_DS_COMBINE")
+            and (jax.default_backend() == "tpu"
+                 or "EQLB_FORCE_LANE_SELECT" in os.environ)
+        )
 
     # Largest lane-packed combine source (R x padded flat f32) that still
     # rides the TPU gather's fast regime: row-fetch throughput drops ~3x
@@ -504,6 +526,22 @@ class EqlbEngine:
         by _pack_groups (cache-resident packs, pairwise R=2 when
         unpaired); f64 / off-TPU use the element gather."""
         elem = self._use_elem_combine(n_rhs)
+        # the double-single f64 path rides the R = 2 pair tables; it serves
+        # n_rhs == 1 directly and any 1-field slice the multi-field pack
+        # plan recurses into
+        needs_ds = self._use_ds_combine(1) and (
+            n_rhs == 1
+            or (not elem and self._patch_major
+                and 1 in self._pack_groups(n_rhs))
+        )
+        if needs_ds and 2 not in self._packed_R:
+            _, refd = self._device_tables()
+            cm = self._combine
+            for nm in ("01", "2"):
+                rows, lane = self._shaped_tables(cm["pair" + nm], 2)
+                refd[f"rows{nm}R2"] = jnp.asarray(rows, jnp.int32)
+                refd[f"lane{nm}R2"] = jnp.asarray(lane, jnp.int32)
+            self._packed_R.add(2)
         if n_rhs <= 1 and not elem:
             return
         _, refd = self._device_tables()
@@ -895,7 +933,20 @@ class EqlbEngine:
         w = dprT.shape[1] * dprT.shape[2] * n_rhs
         # n_rhs == 1 keeps the minor-axis gather: 9 source rows stay under
         # the slow-lowering threshold and measure 44 ms vs 64 ms packed
-        if 1 < n_rhs and w <= 128:
+        if dprT.dtype == jnp.float64 and self._use_ds_combine(1) \
+                and 2 * w <= 128:
+            # double-single source: the f64 per-cell data rides the row
+            # gather as [hi | lo] f32 halves (exact split) and is
+            # reconstructed in f64 after the gather — the emulated-f64
+            # gather was a dominant mixed-path cost (load_moments_bl)
+            hi = dprT.astype(jnp.float32).reshape(-1, nc)
+            lo = (dprT - hi.astype(jnp.float64).reshape(dprT.shape)).astype(
+                jnp.float32).reshape(-1, nc)
+            src_packed = jnp.moveaxis(
+                jnp.concatenate([hi, lo], axis=0), 0, 1)
+            src_packed = jnp.pad(src_packed, ((0, 0), (0, 128 - 2 * w)))
+            src_packed = jax.lax.optimization_barrier(src_packed)
+        elif 1 < n_rhs and w <= 128:
             src_packed = jnp.moveaxis(dprT.reshape(-1, nc), 0, 1)
             src_packed = jnp.pad(src_packed, ((0, 0), (0, 128 - w)))
             src_packed = jax.lax.optimization_barrier(src_packed)
@@ -977,6 +1028,9 @@ class EqlbEngine:
         cm = self._combine
         ndofs = self.V.ndofs
         paired = self._patch_major
+
+        if flat.dtype == jnp.float64 and self._use_ds_combine(n_rhs):
+            return self._ds_combine(flat, refd)
 
         if self._use_elem_combine(n_rhs):
             flat = jnp.pad(flat, ((0, 0), (0, cm["Lpad"] - flat.shape[1])))
@@ -1071,6 +1125,63 @@ class EqlbEngine:
         x = pick("01", ndofs)
         tail = pick("2", ndofs - cm["nfk"])
         return x.at[:, cm["nfk"] :].add(tail)
+
+    def _ds_combine(self, flat, refd):
+        """Double-single 1-field combine: (1, L) f64 -> (1, ndofs) f64.
+
+        The f64 flat solution is split exactly into (hi, lo) f32 planes
+        (hi = f32(v), lo = f32(v - hi): |v - hi - lo| <= 2^-48 |v|), which
+        ride the R = 2 lane-packed PAIRED layout — plane r of position p at
+        lane (p % 64) * 2 + r, so one gathered 128-lane f32 row serves both
+        dofs of a pair x both planes with the 1-field index count.  The
+        select kernel 2Sum-compensates the contributor additions
+        (ops.lane_select_ds) and the f64 value is reconstructed afterwards;
+        the contributor-class add happens in f64."""
+        cm = self._combine
+        ndofs = self.V.ndofs
+        Lpos = self._lpad(2)
+        hi = flat.astype(jnp.float32)
+        lo = (flat - hi.astype(jnp.float64)).astype(jnp.float32)
+        planes = jnp.concatenate([hi, lo], axis=0)  # (2, L) f32
+        planes = jnp.pad(planes, ((0, 0), (0, Lpos - flat.shape[1])))
+        f2p = jnp.moveaxis(planes, 0, 1).reshape(-1, 128)
+
+        def pick(nm, npos):
+            # base offsets 2m address pair member m's (hi, lo) lane pair
+            out = self._row_gather_select_ds(
+                f2p, refd[f"rows{nm}R2"], refd[f"lane{nm}R2"], (0, 2))
+            vals = [out[2 * m].astype(jnp.float64)
+                    + out[2 * m + 1].astype(jnp.float64) for m in (0, 1)]
+            xy = jnp.stack(vals)  # (2 = pair member, npairs)
+            return jnp.moveaxis(xy, 0, -1).reshape(1, -1)[:, :npos]
+
+        x = pick("01", ndofs)
+        tail = pick("2", ndofs - cm["nfk"])
+        return x.at[:, cm["nfk"]:].add(tail)
+
+    def _row_gather_select_ds(self, f2, rows_all, lane_all, base_offs):
+        """Segmented row gather + double-single select epilogue: like
+        _row_gather_select but emitting a 2Sum-compensated (hi, lo) f32
+        plane pair per base offset.  Returns (2 * len(base_offs), G * 1024)
+        f32."""
+        from ..ops.lane_select import lane_select_ds
+
+        G, C = lane_all.shape[0], lane_all.shape[1]
+        if G == 0:
+            return jnp.zeros((2 * len(base_offs), 0), jnp.float32)
+        gseg = G
+        if G * 1024 * C * 512 > (6 << 30):
+            gseg = 4096
+        segs = []
+        for g0 in range(0, G, gseg):
+            g1 = min(g0 + gseg, G)
+            rows_flat = jax.lax.slice_in_dim(
+                rows_all, g0 * 1024 * C, g1 * 1024 * C)
+            lane = jax.lax.slice_in_dim(lane_all, g0, g1)
+            rg = f2[rows_flat].reshape(g1 - g0, 8, 128, C, 128)
+            segs.append(lane_select_ds(rg, lane, base_offs))
+        out = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
+        return out.reshape(2 * len(base_offs), -1)
 
     def _row_gather_select(self, f2, rows_all, lane_all, n_out, dtype):
         """Segmented 128-lane row gather + Pallas lane select epilogue.

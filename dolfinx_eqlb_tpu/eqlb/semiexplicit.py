@@ -300,7 +300,17 @@ def load_moments_bl(engine, key, dprT, dv, refd, src_packed=None):
     if src_packed is not None:
         # cell-major row gather: one 512 B granule per patch-cell instance
         # (source is 128-lane padded; slice back to the logical width)
-        rows = src_packed[cb.reshape(-1)][:, : n_rhs * 3 * ndg]
+        w = n_rhs * 3 * ndg
+        rows_all = src_packed[cb.reshape(-1)]
+        if src_packed.dtype != dt:
+            # double-single planes (f64 engine): the row holds [hi | lo]
+            # f32 halves of the f64 data — the gather runs at f32 width
+            # and the exact value is reconstructed after (engine
+            # _equilibrate_impl_T_inner builds this layout)
+            rows = (rows_all[:, :w].astype(dt)
+                    + rows_all[:, w: 2 * w].astype(dt))
+        else:
+            rows = rows_all[:, :w]
         g = jnp.transpose(
             rows.reshape(n, P, n_rhs, 3, ndg), (3, 4, 0, 2, 1)
         ).reshape(3, ndg, n, n_rhs * P)

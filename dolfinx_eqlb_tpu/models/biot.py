@@ -384,7 +384,7 @@ def biot_fields(uh, ph, pth, f_expr, g_expr, degree_eqlb: int):
 
 
 def biot_bench_fields(msh, k: int, rtol=1e-10, maxiter=20000,
-                      dtype=None, chunk=500):
+                      dtype=None, chunk=500, mg_meshes=None):
     """Bench-grade data for the multi-field configuration: solve the Biot
     primal problem on ``msh`` (reference RHS family) and return the dof
     arrays (d_proj (3, nc, 2, ndg), d_rhs (3, nc, ndg)) for
@@ -436,8 +436,9 @@ def biot_bench_fields(msh, k: int, rtol=1e-10, maxiter=20000,
     # the load-vector quadrature evaluation inside solve()
     fe = Function(Vdg2, jnp.asarray(np.asarray(fe_h.x)))
     ge = Function(Vdg1, jnp.asarray(np.asarray(ge_h.x)))
+    mg = BiotMG(solver, mg_meshes) if mg_meshes is not None else None
     uh, ph, pth = solver.solve(fe, ge, msh.boundary_facets, rtol=rtol,
-                               maxiter=maxiter, chunk=chunk)
+                               maxiter=maxiter, chunk=chunk, mg=mg)
     uh_x, ph_x, pth_x = (np.asarray(uh.x), np.asarray(ph.x),
                          np.asarray(pth.x))
     with jax.default_device(cpu):

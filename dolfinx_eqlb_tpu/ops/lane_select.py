@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lane_select_sum", "lane_select_multi", "lane_select_offsets"]
+__all__ = ["lane_select_sum", "lane_select_multi", "lane_select_offsets",
+           "lane_select_ds"]
 
 
 def _kernel(C, offs, rows_ref, lane_ref, out_ref):
@@ -84,6 +85,73 @@ def lane_select_multi(rows, lane, R):
     layout), so the HBM-bound row gather is paid once, not once per RHS.
     Returns (R, G, 8, 128)."""
     return lane_select_offsets(rows, lane, tuple(range(R)))
+
+
+def _kernel_ds(C, base_offs, rows_ref, lane_ref, out_ref):
+    """Double-single variant: lanes hold (hi, lo) f32 plane pairs of an f64
+    value at offsets (o, o+1).  The per-contributor sum of the hi planes is
+    compensated with an exact 2Sum so no f32 rounding of the contributor
+    addition leaks into the reconstructed f64 (the plain kernel's ``acc +
+    t`` would cost ~2^-24 relative; with compensation the only loss is the
+    ~2^-48 split residual).  Emits, per base offset, the compensated hi sum
+    and the lo sum carrying the compensation term."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+    for r, off in enumerate(base_offs):
+        hi = None
+        lo = None
+        for c in range(C):
+            rows_c = rows_ref[0, :, :, c, :]  # (8, 128, 128)
+            lane_c = lane_ref[0, c]  # (8, 128)
+            mh = ((lane_c[:, :, None] + off) == iota).astype(rows_c.dtype)
+            ml = ((lane_c[:, :, None] + (off + 1)) == iota).astype(
+                rows_c.dtype)
+            h = jnp.sum(rows_c * mh, axis=-1)
+            l = jnp.sum(rows_c * ml, axis=-1)
+            if hi is None:
+                hi, lo = h, l
+            else:
+                # Knuth 2Sum: s + err == hi + h exactly
+                s = hi + h
+                bb = s - hi
+                err = (hi - (s - bb)) + (h - bb)
+                hi = s
+                lo = lo + l + err
+        out_ref[2 * r, 0] = hi
+        out_ref[2 * r + 1, 0] = lo
+
+
+@partial(jax.jit, static_argnames=("base_offs",))
+def _run_ds(rows, lane, base_offs):
+    G, _, _, C, _ = rows.shape
+    R = 2 * len(base_offs)
+    return pl.pallas_call(
+        partial(_kernel_ds, C, base_offs),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 128, C, 128), lambda i: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, 1, 8, 128), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R, G, 8, 128), rows.dtype),
+        interpret=(jax.default_backend() != "tpu"),
+    )(rows, lane)
+
+
+def lane_select_ds(rows, lane, base_offs):
+    """Double-single gather epilogue: for each base offset o (must address
+    an (hi, lo) f32 lane pair), out[2i] = compensated sum_c hi_c and
+    out[2i+1] = sum_c lo_c + compensation, such that
+    f64(out[2i]) + f64(out[2i+1]) == sum_c (f64(hi_c) + f64(lo_c)) up to the
+    ~2^-48 lo-plane rounding.  rows (G, 8, 128, C, 128) f32;
+    returns (2 * len(base_offs), G, 8, 128) f32."""
+    base_offs = tuple(int(o) for o in base_offs)
+    if jax.config.jax_enable_x64 and rows.dtype != jnp.float64:
+        with jax.enable_x64(False):
+            return _run_ds(rows, lane, base_offs)
+    return _run_ds(rows, lane, base_offs)
 
 
 def lane_select_offsets(rows, lane, offsets):

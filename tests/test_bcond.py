@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from dolfinx_eqlb_tpu.mesh import unit_square, permute_vertices
+from dolfinx_eqlb_tpu.mesh.generators import unit_square_unstructured
 from dolfinx_eqlb_tpu.fem import (
     FunctionSpace,
     local_projection,
@@ -25,12 +26,17 @@ from dolfinx_eqlb_tpu.eqlb import (
 )
 
 
-@pytest.mark.parametrize("deg", [1, 2, 3])
+@pytest.mark.parametrize("deg", [1, 2, 3, 4])  # reference sweeps 1-4
 @pytest.mark.parametrize("Eqlb", [FluxEqlbSE, FluxEqlbEV])
-def test_polynomial_bc_exact(deg, Eqlb):
+@pytest.mark.parametrize("mesh_fn", [
+    lambda: permute_vertices(unit_square(3), seed=41),
+    lambda: unit_square_unstructured(4, seed=1),
+])
+def test_polynomial_bc_exact(deg, Eqlb, mesh_fn):
     """Flux BC with polynomial normal trace of degree <= k-1 is reproduced
-    exactly by the equilibrated flux (reference test_fluxeqlb_bcond)."""
-    msh = permute_vertices(unit_square(3), seed=41)
+    exactly by the equilibrated flux (reference test_fluxeqlb_bcond.py:32,
+    degrees 1-4 on both mesh families)."""
+    msh = mesh_fn()
     k = deg
     # sigma = (x^... ) with polynomial trace of degree k-1 on x = 0/1:
     sig = lambda x: np.stack(

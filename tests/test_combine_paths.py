@@ -35,9 +35,37 @@ def test_lane_select_matches_elem_gather(n_rhs, k, monkeypatch):
     x_elem = np.asarray(eng.equilibrate(dp, dr, fk, bv))
 
     monkeypatch.setitem(os.environ, "EQLB_FORCE_LANE_SELECT", "1")
+    # pin the PLAIN lane-select path (the f64 1-field case would otherwise
+    # route through the double-single combine, covered separately below)
+    monkeypatch.setitem(os.environ, "EQLB_NO_DS_COMBINE", "1")
     eng2 = EqlbEngine(V, build_patches(msh))
     x_ls = np.asarray(eng2.equilibrate(dp, dr, fk, bv))
     assert np.abs(x_elem - x_ls).max() < 1e-11
+
+
+@pytest.mark.parametrize("k", [2, 4])
+def test_ds_combine_matches_elem_gather(k, monkeypatch):
+    """The double-single combine (f64 flat as 2Sum-compensated (hi, lo)
+    f32 lane planes, engine._ds_combine) reproduces the f64 element-gather
+    combine to the ~2^-48 split residual."""
+    msh = unit_square(5)
+    V = FunctionSpace(msh, "RT", k)
+    rng = np.random.default_rng(11)
+    nc, ndg = msh.num_cells, k * (k + 1) // 2
+    dp = rng.normal(size=(1, nc, 2, ndg))
+    dr = rng.normal(size=(1, nc, ndg))
+    fk = np.where(msh.is_boundary_facet, 1, 0).astype(np.int8)[None]
+    bv = np.zeros((1, msh.num_facets, k))
+
+    eng = EqlbEngine(V, build_patches(msh))
+    x_elem = np.asarray(eng.equilibrate(dp, dr, fk, bv))
+
+    monkeypatch.setitem(os.environ, "EQLB_FORCE_LANE_SELECT", "1")
+    eng2 = EqlbEngine(V, build_patches(msh))
+    assert eng2._use_ds_combine(1)
+    x_ds = np.asarray(eng2.equilibrate(dp, dr, fk, bv))
+    scale = np.abs(x_elem).max()
+    assert np.abs(x_elem - x_ds).max() < 1e-12 * scale
 
 
 @pytest.mark.parametrize("n_rhs,cap_packs,groups", [

@@ -18,18 +18,22 @@ from dolfinx_eqlb_tpu.eqlb import (
 
 
 def _sigma_rows(deg):
-    """Exact symmetric stress sigma = [[x^d, x y^?], ...] with polynomial
-    rows and their divergences.  Uses sigma = [[a, c], [c, b]] with
-    a = x^2 + 2y, b = y^2 - x, c = x*y (symmetric)."""
+    """Exact symmetric polynomial stress sigma = [[a, c], [c, b]] with
+    a = x^d + 2y, b = y^d - x, c = x*y, and its divergence rows
+    f0 = d x^{d-1} + x, f1 = y + d y^{d-1} (deg=2 reproduces the historic
+    quadratic case; higher degrees exercise the top moments)."""
+    d = deg
 
     def row0(x):
-        return np.stack([x[..., 0] ** 2 + 2 * x[..., 1], x[..., 0] * x[..., 1]], -1)
+        return np.stack([x[..., 0] ** d + 2 * x[..., 1],
+                         x[..., 0] * x[..., 1]], -1)
 
     def row1(x):
-        return np.stack([x[..., 0] * x[..., 1], x[..., 1] ** 2 - x[..., 0]], -1)
+        return np.stack([x[..., 0] * x[..., 1],
+                         x[..., 1] ** d - x[..., 0]], -1)
 
-    f0 = lambda x: 2 * x[..., 0] + x[..., 0]  # d/dx(x^2+2y) + d/dy(xy)
-    f1 = lambda x: x[..., 1] + 2 * x[..., 1]
+    f0 = lambda x: d * x[..., 0] ** (d - 1) + x[..., 0]
+    f1 = lambda x: x[..., 1] + d * x[..., 1] ** (d - 1)
     return (row0, row1), (f0, f1)
 
 
@@ -38,7 +42,7 @@ def _sigma_rows(deg):
     lambda: permute_vertices(unit_square(3), seed=21),
     lambda: unit_square_unstructured(4, seed=1),
 ])
-@pytest.mark.parametrize("deg", [2, 3])
+@pytest.mark.parametrize("deg", [2, 3, 4])  # reference sweeps 2-4
 def test_stress_equilibration_conditions(mesh_fn, deg):
     msh = mesh_fn()
     (row0, row1), (f0, f1) = _sigma_rows(deg)
