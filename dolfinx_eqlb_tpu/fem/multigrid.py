@@ -225,18 +225,24 @@ class GeometricMG:
                 o["Ptab"] = jnp.asarray(Ptab, self.dtype)
                 o["cds_c"] = self._ops[l - 1]["cds_scalar"]
             o["cds_scalar"] = jnp.asarray(cds, jnp.int32)
+            # lmax of Dinv A (power iteration, deterministic start) in host
+            # NumPy from the assembly-side arrays: a per-level jit would
+            # cost one slow remote compile each on relayed TPU backends,
+            # and only the scalar is kept
+            rng = np.random.default_rng(7)
+            v = rng.standard_normal(nds * bs)
+            DinvF = Dinv  # zero on constrained dofs already
+            lam = 1.0
+            for _ in range(20):
+                v /= np.linalg.norm(v) + 1e-30
+                ve = np.where(free, v, 0.0)[cd]
+                y = np.zeros(nds * bs)
+                np.add.at(y, cd, np.einsum("cij,cj->ci", Ae, ve))
+                v = DinvF * np.where(free, y, 0.0)
+                lam = np.linalg.norm(v)
+            o["lmax"] = jnp.asarray(1.1 * lam, self.dtype)
             self._ops.append(o)
             self._nds.append(nds)
-
-        # lmax of Dinv A per level (power iteration, jitted once per level
-        # shape; deterministic start)
-        pw = jax.jit(self._power_lmax, static_argnums=(2,))
-        for l, o in enumerate(self._ops):
-            n = self._nds[l] * bs
-            rng = np.random.default_rng(7)
-            v0 = jnp.asarray(rng.standard_normal(n), self.dtype)
-            o["lmax"] = jnp.asarray(
-                1.1 * float(pw(o, v0, 20)), self.dtype)
 
     # --- level operations (all jit-friendly; ``ops`` rides as arguments) --
 
@@ -245,14 +251,6 @@ class GeometricMG:
         y = jnp.einsum("cij,cj->ci", o["Ae"], xe)
         n = o["Dinv"].shape[0]
         return jnp.zeros(n, x.dtype).at[o["cd"]].add(y) * o["free"]
-
-    def _power_lmax(self, o, v, iters):
-        def body(_, v):
-            v = v / (jnp.linalg.norm(v) + 1e-30)
-            return o["Dinv"] * self._matvec(o, v)
-
-        v = jax.lax.fori_loop(0, iters, body, v)
-        return jnp.linalg.norm(v)
 
     def _cheb(self, o, r):
         """z ~ A^{-1} r: degree-m Chebyshev on D^{-1}A over
