@@ -100,10 +100,13 @@ def scalar_stiffness_tensors(msh, degree: int, mass_coeff: float = 0.0,
     return A
 
 
-def vector_eps_tensors(msh, degree: int, quadrature_degree=None) -> np.ndarray:
-    """Element tensors of ``2 (eps(u), eps(v))`` on (CG_k)^2, local index
-    flattened ``i * 2 + a`` -> ``(nc, 2 nd, 2 nd)`` (the Biot / elasticity
-    displacement block, reference ``perftest_basics.py:294-330``)."""
+def vector_eps_tensors(msh, degree: int, quadrature_degree=None,
+                       div_coeff: float = 0.0) -> np.ndarray:
+    """Element tensors of ``2 (eps(u), eps(v)) + div_coeff (div u, div v)``
+    on (CG_k)^2, local index flattened ``i * 2 + a`` ->
+    ``(nc, 2 nd, 2 nd)`` (the Biot / elasticity displacement block,
+    reference ``perftest_basics.py:294-330``; ``div_coeff = pi_1`` matches
+    the primal displacement formulation of ``models.ElasticitySolver``)."""
     el = FunctionSpace(msh, "P", degree).element
     pts, w = gauss_triangle(quadrature_degree or 2 * degree)
     tg = el.tabulate_grad(pts)
@@ -116,6 +119,8 @@ def vector_eps_tensors(msh, degree: int, quadrature_degree=None) -> np.ndarray:
     for a in range(2):
         A[:, :, a, :, a] += gij
     A += np.einsum("ciajb->cibja", gg)
+    if div_coeff:
+        A += div_coeff * gg
     A *= adet[:, None, None, None, None]
     return A.reshape(len(msh.K), 2 * nd, 2 * nd)
 

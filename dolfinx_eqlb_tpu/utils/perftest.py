@@ -74,7 +74,7 @@ def _setup_poisson(msh, order):
     return V.ndofs, t_asm, solve, project, make_eqlbs
 
 
-def _setup_elasticity(msh, order):
+def _setup_elasticity(msh, order, hierarchy=None):
     from ..models.elasticity import ElasticitySolver, stress_row_expr
 
     u_ext = lambda x: np.stack(
@@ -94,6 +94,14 @@ def _setup_elasticity(msh, order):
 
     ta0 = time.perf_counter()
     solver = ElasticitySolver(V, pi_1)
+    mg = None
+    if hierarchy is not None:
+        from ..fem.multigrid import GeometricMG, vector_eps_tensors
+
+        mg = GeometricMG(
+            hierarchy, order,
+            lambda m: vector_eps_tensors(m, order, div_coeff=pi_1),
+            block_size=2)
     t_asm = time.perf_counter() - ta0
 
     from ..fem import as_vector
@@ -101,7 +109,8 @@ def _setup_elasticity(msh, order):
     def solve():
         return solver.solve(
             as_vector(rhs_proj, msh), msh.boundary_facets,
-            expr_from_callable(u_ext, msh, value_size=2), rtol=1e-10)
+            expr_from_callable(u_ext, msh, value_size=2), rtol=1e-10,
+            mg_meshes=mg)
 
     def project(uh):
         return local_projection(
@@ -184,12 +193,13 @@ def run_perftest(
         raise ValueError(f"unknown testcase {testcase!r}; one of {TESTCASES}")
     setup = _SETUPS[testcase]
 
-    # biot solves ride a block-geometric-multigrid preconditioner, which
-    # needs nested meshes: its refinement series is the red-refinement
-    # hierarchy of the coarse mesh (same cell/vertex/dof counts per level as
-    # the built-in crossed series; only the sub-triangle geometry differs)
+    # elasticity/biot solves ride geometric-multigrid preconditioners,
+    # which need nested meshes: their refinement series is the
+    # red-refinement hierarchy of the coarse mesh (same cell/vertex/dof
+    # counts per level as the built-in crossed series; only the
+    # sub-triangle geometry differs)
     hierarchy = None
-    if testcase == "biot":
+    if testcase in ("biot", "elasticity"):
         from ..fem.multigrid import mesh_hierarchy
 
         hierarchy = mesh_hierarchy(unit_square(n0), nrefs)

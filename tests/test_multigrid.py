@@ -138,6 +138,37 @@ def test_biot_mg_matches_jacobi_and_is_mesh_independent():
     assert float(jnp.max(jnp.abs(pth.x - ptj.x))) < 1e-8 * scale
 
 
+def test_elasticity_displacement_mg_matches_jacobi():
+    """The displacement-form CG with the eps+div V-cycle agrees with the
+    Jacobi path and converges in few iterations (the perftest's order-4
+    1M-dof solve took 363 s on Jacobi's 1/h iteration growth)."""
+    from dolfinx_eqlb_tpu.models.elasticity import ElasticitySolver
+    from dolfinx_eqlb_tpu.fem import expr_from_callable
+
+    meshes = mesh_hierarchy(unit_square(3), 3)
+    msh = meshes[-1]
+    k, pi_1 = 2, 1.0
+    V = FunctionSpace(msh, "P", k, vs=2)
+
+    def u_ext(x):
+        return np.stack(
+            [np.sin(np.pi * x[..., 0]) * np.cos(np.pi * x[..., 1]),
+             -np.cos(np.pi * x[..., 0]) * np.sin(np.pi * x[..., 1])], -1)
+
+    f_expr = expr_from_callable(lambda x: 2 * np.pi ** 2 * u_ext(x), msh,
+                                value_size=2)
+    ud = expr_from_callable(u_ext, msh, value_size=2)
+    s = ElasticitySolver(V, pi_1)
+    u_mg = s.solve(f_expr, msh.boundary_facets, ud, rtol=1e-12,
+                   mg_meshes=meshes)
+    its_mg = s.last_iterations
+    u_j = s.solve(f_expr, msh.boundary_facets, ud, rtol=1e-12)
+    assert its_mg <= 30
+    assert s.last_iterations > 3 * its_mg
+    scale = float(jnp.max(jnp.abs(u_j.x))) + 1.0
+    assert float(jnp.max(jnp.abs(u_mg.x - u_j.x))) < 1e-8 * scale
+
+
 def test_herrmann_mg_matches_jacobi():
     """The Herrmann (Taylor-Hood u-p) MINRES with the displacement-block
     V-cycle agrees with the Jacobi path and converges in few iterations."""
