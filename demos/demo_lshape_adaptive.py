@@ -55,7 +55,8 @@ def grad_u_exact(x):
 
 
 def adaptive_loop(order_prime=1, order_eqlb=1, theta=0.5, tol=1e-2,
-                  max_iter=20, n0=2, Equilibrator=FluxEqlbSE, verbose=True):
+                  max_iter=20, n0=2, Equilibrator=FluxEqlbSE, verbose=True,
+                  csv_path=None):
     msh = lshape(n0)
     history = []
     for it in range(max_iter):
@@ -80,7 +81,15 @@ def adaptive_loop(order_prime=1, order_eqlb=1, theta=0.5, tol=1e-2,
         history.append((msh.num_cells, err_h1, eta, eta / max(err_h1, 1e-300)))
         if verbose:
             print(f"it {it:2d}: cells {msh.num_cells:6d}  err {err_h1:.4e}  "
-                  f"eta {eta:.4e}  I_eff {eta/err_h1:.3f}")
+                  f"eta {eta:.4e}  I_eff {eta/err_h1:.3f}", flush=True)
+        if csv_path is not None:
+            # re-written every iteration: a long run killed mid-way still
+            # leaves a complete trace (reference writes per-level CSVs too,
+            # poisson_adaptive/demo_lshape.py:200-216)
+            with open(csv_path, "w") as f:
+                f.write("iteration,ncells,eta,err_h1,I_eff\n")
+                for j, (nc_j, e_j, eta_j, ie_j) in enumerate(history):
+                    f.write(f"{j},{nc_j},{eta_j:.12e},{e_j:.12e},{ie_j:.6f}\n")
         if eta <= tol:
             break
         marked = doerfler_mark(np.asarray(cell_eta), theta)
@@ -95,9 +104,12 @@ if __name__ == "__main__":
     p.add_argument("--max-iter", type=int, default=25)
     p.add_argument("--order-prime", type=int, default=1)
     p.add_argument("--degree", type=int, default=1)
+    p.add_argument("--csv", type=str, default=None,
+                   help="write the per-iteration trace (ncells, eta, err, "
+                        "I_eff) to this CSV, updated every iteration")
     a = p.parse_args()
     msh, hist = adaptive_loop(a.order_prime, a.degree, a.theta, a.tol,
-                              a.max_iter)
+                              a.max_iter, csv_path=a.csv)
     h = np.array(hist)
     # adaptive convergence rate w.r.t. ndof (optimal: -1/2 for P1)
     rate = np.polyfit(np.log(h[3:, 0]), np.log(h[3:, 2]), 1)[0]
