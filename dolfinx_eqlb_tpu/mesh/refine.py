@@ -47,10 +47,11 @@ def _longest_edge(msh: TriMesh) -> np.ndarray:
     """Local index of the longest edge per cell (ties broken by the larger
     global facet id, so neighbours agree on the shared edge)."""
     L = msh.facet_length[msh.cell_facets]  # (nc, 3)
-    # lexicographic: length, then global id
-    key = L + 1e-9 * L.mean() * (
-        msh.cell_facets / max(msh.num_facets, 1)
-    )
+    # lexicographic: length, then global id.  The tie-break perturbation is
+    # RELATIVE to each edge's own length — a mean-scaled absolute term would
+    # swamp the true lengths on deeply refined corner cells (h ~ 1e-9 x mean)
+    # and bisect by the shortest edge, degrading cell quality.
+    key = L * (1.0 + 1e-9 * msh.cell_facets / max(msh.num_facets, 1))
     return np.argmax(key, axis=1)
 
 

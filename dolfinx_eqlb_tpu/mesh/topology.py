@@ -116,7 +116,15 @@ class TriMesh:
         self.detJ = (
             self.J[:, 0, 0] * self.J[:, 1, 1] - self.J[:, 0, 1] * self.J[:, 1, 0]
         )
-        if np.any(np.abs(self.detJ) < 1e-14):
+        # degeneracy must be judged relative to the cell scale: |detJ| = 2*area
+        # ~ h^2 for a healthy triangle of any size, and deep adaptive
+        # refinement at a corner singularity legitimately reaches h ~ 1e-11
+        # (detJ ~ 1e-22).  An absolute cutoff would reject those healthy cells.
+        e01 = np.linalg.norm(v1 - v0, axis=-1)
+        e02 = np.linalg.norm(v2 - v0, axis=-1)
+        e12 = np.linalg.norm(v2 - v1, axis=-1)
+        h_max2 = np.maximum(np.maximum(e01, e02), e12) ** 2
+        if np.any(np.abs(self.detJ) <= 1e-12 * h_max2):
             raise ValueError("degenerate cell in mesh")
         inv_det = 1.0 / self.detJ
         self.K = np.empty_like(self.J)  # J^{-1}
@@ -133,10 +141,7 @@ class TriMesh:
         self.facet_length = np.linalg.norm(self.facet_tangent, axis=-1)
         # cell diameter = longest edge (matches dolfinx cpp::mesh::h used by
         # the estimator, reference demo_error_estimation.py:87-93)
-        e01 = np.linalg.norm(v1 - v0, axis=-1)
-        e02 = np.linalg.norm(v2 - v0, axis=-1)
-        e12 = np.linalg.norm(v2 - v1, axis=-1)
-        self.h_cell = np.maximum(np.maximum(e01, e02), e12)
+        self.h_cell = np.sqrt(h_max2)
 
         # outward sign of the canonical scaled normal rot(T) = (T_y, -T_x)
         # on boundary facets, w.r.t. their owning cell

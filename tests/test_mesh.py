@@ -96,6 +96,26 @@ def test_refine_marked_conforming():
     assert q.min() > 0.05
 
 
+def test_refine_marked_deep_corner():
+    """Deep bisection at a corner singularity reaches tiny cells (h ~ 1e-8,
+    detJ ~ h^2 ~ 1e-16) that are perfectly healthy — the degeneracy guard
+    must be relative to the cell scale, and the longest-edge tie-break must
+    stay relative so quality is preserved at depth (regression: the adaptive
+    L-shape demo crashed at iteration 49 with 'degenerate cell in mesh')."""
+    msh = lshape(2)
+    corner = np.array([0.0, 0.0])
+    for _ in range(60):
+        # mark the cells touching the re-entrant corner, as Doerfler marking
+        # of the singular solution would
+        d = np.linalg.norm(msh.points[msh.cells].mean(axis=1) - corner, axis=-1)
+        marked = np.where(d <= d.min() * (1 + 1e-9))[0]
+        msh = refine_marked(msh, marked)
+    q = msh.cell_volumes / msh.h_cell**2
+    assert msh.h_cell.min() < 1e-8
+    assert q.min() > 0.05  # bisection keeps similarity classes bounded
+    assert np.isclose(msh.cell_volumes.sum(), 3.0)
+
+
 def test_boundary_outward_sign():
     msh = permute_vertices(unit_square(3), seed=1)
     for f in msh.boundary_facets:
