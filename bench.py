@@ -340,6 +340,23 @@ def main(n=500, k=2, repeats=5, n_fields=1, stress=False, mixed=False,
 
     dtype = jnp.float64 if mixed else jnp.float32
     V = FunctionSpace(msh, "RT", k)
+
+    # data prep BEFORE the engine tables are uploaded: the Biot prep runs a
+    # block-MG MINRES on the device, and its operator hierarchy must not
+    # coexist with the multi-GB equilibration tables on the 16 GB worker
+    # (r05: the worker crashed mid-solve with the engine resident)
+    np_dt = np.float64 if mixed else np.float32
+    warm()
+    if biot and os.environ.get("EQLB_BIOT_PREP_CPU"):
+        # escape hatch: home the whole primal prep (MG MINRES included) on
+        # the host if the device worker cannot take the solve
+        with jax.default_device(jax.devices("cpu")[0]):
+            d_proj, d_rhs, facet_kind, bvals, nf = _make_data(
+                msh, k, n_fields, stress, biot, np_dt, mg_meshes=mg_meshes)
+    else:
+        d_proj, d_rhs, facet_kind, bvals, nf = _make_data(
+            msh, k, n_fields, stress, biot, np_dt, mg_meshes=mg_meshes)
+
     t0 = time.perf_counter()
     # moderate chunking balances op-count against peak HBM through the
     # combine gather's live intermediates; f64 (--mixed) doubles every live
@@ -357,12 +374,6 @@ def main(n=500, k=2, repeats=5, n_fields=1, stress=False, mixed=False,
         engine.solver = "pallas" if backend == "tpu" else "xla"
     log(f"engine tables ({time.perf_counter()-t0:.1f}s, "
         f"solver={engine.solver})")
-
-    np_dt = np.float64 if mixed else np.float32
-    d_proj, d_rhs, facet_kind, bvals, nf = _make_data(
-        msh, k, n_fields, stress, biot, np_dt, mg_meshes=mg_meshes)
-
-    warm()
     # upload once in the engine's batch-last layout so the steady-state
     # timing measures device work, not per-call relay transfers
     t0 = time.perf_counter()
