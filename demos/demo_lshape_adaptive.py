@@ -111,7 +111,7 @@ if __name__ == "__main__":
     msh, hist = adaptive_loop(a.order_prime, a.degree, a.theta, a.tol,
                               a.max_iter, csv_path=a.csv)
     h = np.array(hist)
-    # adaptive convergence rate w.r.t. ndof (optimal: -1/2 for P1)
+    # adaptive convergence rate w.r.t. ncells (optimal: -p/2 for P_p)
     rate = np.polyfit(np.log(h[3:, 0]), np.log(h[3:, 2]), 1)[0]
     print(f"final: {int(h[-1,0])} cells, eta {h[-1,2]:.3e}, "
-          f"eta ~ ncells^{rate:.2f} (optimal -0.5)")
+          f"eta ~ ncells^{rate:.2f} (optimal {-a.order_prime / 2})")
