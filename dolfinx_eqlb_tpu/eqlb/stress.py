@@ -207,18 +207,27 @@ def weak_symmetry_bucket_bl(engine, key, sol2_bl, facet_kind2, dv, refd,
     pidx = t["patch_idx"]
     p1idx = t["p1_idx"]
     g = jnp.zeros((C, P), dt)
+    nkeep = Bsym.shape[3]
     for i in range(n):
         c0 = sol2_bl[0][pidx[i]]  # (nkeep, P)
         c1 = sol2_bl[1][pidx[i]]
         B1 = Bsym[i, :, 1]
         B2 = -Bsym[i, :, 0]
-        g = g.at[p1idx[i]].add(
-            -jnp.einsum("lsx,sx->lx", B1, c0)
-            - jnp.einsum("lsx,sx->lx", B2, c1)
-        )
+        # unrolled s-contraction: the (3, nkeep) dot_general tile-pads the
+        # MXU 20-40x at these sizes (same pathology as the load-moment and
+        # JtJ einsums); explicit lane-wise FMAs stay on the VPU
+        acc = None
+        for s in range(nkeep):
+            t_ = B1[:, s] * c0[s][None] + B2[:, s] * c1[s][None]
+            acc = t_ if acc is None else acc + t_
+        g = g.at[p1idx[i]].add(-acc)
 
     if not b.is_boundary and "Sinv_c" in dv:
-        yf = jnp.einsum("dhx,hx->dx", dv["Sinv_c"], g)  # (2Dz, P)
+        Sinv_c = dv["Sinv_c"]
+        yf = None  # (2Dz, P); unrolled h-contraction (see above)
+        for h in range(C):
+            t_ = Sinv_c[:, h] * g[h][None]
+            yf = t_ if yf is None else yf + t_
         if skip is not None:
             # grouped patches get their correction jointly (eqlb.grouping)
             yf = jnp.where(skip[None], 0.0, yf)
